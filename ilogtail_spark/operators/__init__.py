@@ -1,0 +1,12 @@
+"""Operator library: pure functions DataFrame -> DataFrame.
+
+Each operator mirrors one reference plugin's semantics (cited in its
+docstring) re-expressed as a Catalyst-friendly plan. A registry keyed
+by the reference plugin names lets YAML-style pipeline configs
+assemble chains exactly like the reference's collection configs
+(core/config/CollectionConfig.h:35-41).
+"""
+
+from ilogtail_spark.operators.registry import OPERATORS, register
+
+__all__ = ["OPERATORS", "register"]

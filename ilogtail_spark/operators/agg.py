@@ -1,0 +1,141 @@
+"""Aggregations — grouping, sharding, skew-defusing salted two-phase agg.
+
+Reference analogues (SURVEY.md §2.6):
+  * aggregator_content_value_group — groupBy field values
+    (aggregator_content_value_group.go:34-44,203);
+  * aggregator_shardhash — xxhash sharding with salted buckets for
+    hot keys (aggregator_shardhash.go:67-87,157-189);
+  * per-sink counters — PluginMetrics.cpp:27-122.
+
+Scale notes: plain ``groupBy(conv_id)`` on a table where ONE
+conversation holds ~30% of rows sends ~30% of the data to a single
+reducer — the straggler that kills a 1000-executor job. The salted
+two-phase agg bounds any single reducer's share at hot_share/salt_n.
+Spark's AQE auto-splits skewed JOIN partitions but NOT skewed
+groupBy hot keys, so this helper is genuinely custom work (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shard_partition(
+    df: DataFrame,
+    keys: Sequence[str],
+    num_shards: int = 32,
+    salt_n: int = 1,
+    shard_col: str | None = "__shardhash__",
+) -> DataFrame:
+    """aggregator_shardhash (aggregator_shardhash.go:157-189):
+    xxhash(key-join) % shard_count routing, with optional salt for hot
+    keys. Emits the bucket id as ``shard_col`` (the reference writes
+    the bucket md5 as a ``__shardhash__`` tag) and repartitions on it.
+    """
+    h = F.xxhash64(*[F.col(k) for k in keys])
+    if salt_n > 1:
+        h = F.xxhash64(h, (F.monotonically_increasing_id() % salt_n))
+    bucket = F.pmod(h, F.lit(num_shards))
+    out = df.withColumn("_bucket", bucket)
+    out = out.repartition(num_shards, F.col("_bucket"))
+    if shard_col:
+        out = out.withColumn(shard_col, F.md5(F.col("_bucket").cast("string")))
+    return out.drop("_bucket")
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_n: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase salted aggregation for hot-key groupBy skew.
+
+    aggs: out_name -> (agg_fn, col) where agg_fn ∈ {count, sum, min,
+    max}. Phase 1 groups by (keys…, salt) — map-side partial
+    aggregation already shrinks each partition, and the shuffle
+    spreads a hot key over ``salt_n`` reducers. Phase 2 re-groups by
+    the true keys over at most |distinct keys| × salt_n rows (tiny).
+
+    The result is EXACTLY groupBy(keys).agg(...) — associative
+    re-aggregation: count→sum, sum→sum, min→min, max→max. avg is
+    expressible as sum+count at the call site.
+
+    salt_source: deterministic salt column expression source; default
+    uses a cheap per-row hash of all columns' first key + a row id —
+    we use pmod(xxhash64(rand-free monotonically_increasing_id), n)
+    for determinism within a run (salt values never surface in the
+    result, only the spread matters).
+    """
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    salt: Column
+    if salt_source is not None:
+        salt = F.pmod(F.xxhash64(F.col(salt_source)), F.lit(salt_n))
+    else:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n))
+
+    phase1_exprs = []
+    phase2_exprs = []
+    for out_name, (fn, col) in aggs.items():
+        tmp = f"_p1_{out_name}"
+        if fn == "count":
+            phase1_exprs.append(F.count(F.lit(1)).alias(tmp))
+            phase2_exprs.append(F.sum(tmp).alias(out_name))
+        elif fn == "count_nonnull":
+            phase1_exprs.append(F.count(F.col(col)).alias(tmp))
+            phase2_exprs.append(F.sum(tmp).alias(out_name))
+        elif fn == "sum":
+            phase1_exprs.append(F.sum(F.col(col)).alias(tmp))
+            phase2_exprs.append(F.sum(tmp).alias(out_name))
+        elif fn == "min":
+            phase1_exprs.append(F.min(F.col(col)).alias(tmp))
+            phase2_exprs.append(F.min(tmp).alias(out_name))
+        elif fn == "max":
+            phase1_exprs.append(F.max(F.col(col)).alias(tmp))
+            phase2_exprs.append(F.max(tmp).alias(out_name))
+        else:
+            raise ValueError(f"non-associative agg {fn}; decompose it first")
+
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*phase1_exprs)
+    return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+def content_value_group(
+    df: DataFrame, keys: Sequence[str], aggs: list[Column] | None = None
+) -> DataFrame:
+    """aggregator_content_value_group: one group per distinct combo of
+    GroupKeys. Default output = per-group event counts."""
+    return df.groupBy(*keys).agg(*(aggs or [F.count(F.lit(1)).alias("n_events")]))
+
+
+def window_histogram(
+    df: DataFrame,
+    ts_col: str = "ts",
+    granularity: str = "hour",
+    keys: Sequence[str] = (),
+    count_alias: str = "n_events",
+) -> DataFrame:
+    """Per-key event histogram over time buckets — the per-sink
+    "per-tool event histograms over ts windows" aggregate. date_trunc
+    keeps the bucket a plain timestamp (oracle-friendly), equivalent
+    to window(ts, '1 hour').start."""
+    bucket = F.date_trunc(granularity, F.col(ts_col)).alias("bucket")
+    return df.groupBy(bucket, *keys).agg(F.count(F.lit(1)).alias(count_alias))
+
+
+def pack_id(df: DataFrame, pack_col: str = "__pack_id__") -> DataFrame:
+    """aggregator_base __pack_id__ (aggregator_base.go:93-139):
+    prefix+sequence lineage id ≈ (partition id, per-partition seq)."""
+    return df.withColumn(
+        pack_col,
+        F.concat_ws(
+            "-",
+            F.spark_partition_id().cast("string"),
+            F.monotonically_increasing_id().cast("string"),
+        ),
+    )

@@ -1,0 +1,225 @@
+"""Filters / predicates (SURVEY.md §2.5).
+
+The reference evaluates a boolean expression tree per event
+(core/plugin/processor/ProcessorFilterNative.h:28-121, enum
+FilterOperator {NOT, AND, OR}); in Spark the tree IS the Catalyst
+expression — filters compile to codegen'd predicates and push down
+to the parquet/Iceberg scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from ilogtail_spark.operators.registry import register
+
+
+def filter_regex(
+    df: DataFrame,
+    include: dict[str, str] | None = None,
+    exclude: dict[str, str] | None = None,
+) -> DataFrame:
+    """processor_filter_regex (Go, processor_filter_regex.go:33-41,131):
+    Include — every (key, regex) must FULL-match; Exclude — any match
+    drops the row. Missing key fails an Include and passes an Exclude.
+    """
+    cond = F.lit(True)
+    for k, pat in (include or {}).items():
+        if k in df.columns:
+            cond = cond & F.col(k).isNotNull() & F.col(k).rlike(f"^(?:{pat})$")
+        else:
+            cond = F.lit(False)
+    for k, pat in (exclude or {}).items():
+        if k in df.columns:
+            cond = cond & ~(F.col(k).isNotNull() & F.col(k).rlike(pat))
+    return df.filter(cond)
+
+
+def filter_expression(df: DataFrame, expr: dict | str) -> Column | DataFrame:
+    """processor_filter_regex_native expression-tree mode
+    (ProcessorFilterNative.h:28-121): nested
+    {"and": [...]} / {"or": [...]} / {"not": {...}} / {"key": k, "regex": r}
+    dicts compile directly to a Catalyst predicate.
+    """
+
+    def build(node: dict) -> Column:
+        if "and" in node:
+            out = F.lit(True)
+            for child in node["and"]:
+                out = out & build(child)
+            return out
+        if "or" in node:
+            out = F.lit(False)
+            for child in node["or"]:
+                out = out | build(child)
+            return out
+        if "not" in node:
+            return ~build(node["not"])
+        return F.col(node["key"]).isNotNull() & F.col(node["key"]).rlike(node["regex"])
+
+    if isinstance(expr, str):
+        return df.filter(expr)
+    return df.filter(build(expr))
+
+
+def filter_key_regex(
+    df: DataFrame,
+    include_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    attrs_col: str | None = None,
+) -> DataFrame:
+    """processor_filter_key_regex (processor_filter_key_regex.go:28-36,117):
+    keep rows that HAVE all include keys / none of the exclude keys.
+    Structured columns are always present, so presence = non-null;
+    for the dynamic map column it's map_contains_key.
+    """
+    cond = F.lit(True)
+    for k in include_keys or []:
+        if attrs_col:
+            cond = cond & F.map_contains_key(F.col(attrs_col), k)
+        else:
+            cond = cond & (F.col(k).isNotNull() if k in df.columns else F.lit(False))
+    for k in exclude_keys or []:
+        if attrs_col:
+            cond = cond & ~F.map_contains_key(F.col(attrs_col), k)
+        elif k in df.columns:
+            cond = cond & F.col(k).isNull()
+    return df.filter(cond)
+
+
+def filter_timestamp(
+    df: DataFrame,
+    ts_col: str = "ts",
+    begin: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """processor_timestamp_filter_native
+    (ProcessorTimestampFilterNative.cpp:151-173) — drop events outside
+    [begin, end]; the batch analogue of a watermark late-data policy.
+    """
+    cond = F.lit(True)
+    if begin is not None:
+        cond = cond & (F.col(ts_col) >= F.lit(begin).cast("timestamp"))
+    if end is not None:
+        cond = cond & (F.col(ts_col) <= F.lit(end).cast("timestamp"))
+    return df.filter(cond)
+
+
+def fields_with_condition(
+    df: DataFrame,
+    cases: list[dict],
+    drop_if_not_match: bool = False,
+) -> DataFrame:
+    """processor_fields_with_condition
+    (processor_fields_with_condition.go:43-74,296): switch-case — the
+    first case whose predicate matches applies its add-fields action.
+
+    Each case: {"when": {"field": ..., "op": equals|regexp|contains|startwith,
+    "value": ...}, "add": {k: v, ...}}. Compiled to chained
+    when().otherwise() columns — one pass, no UDF.
+    """
+
+    def pred(w: dict) -> Column:
+        c, op, v = F.col(w["field"]), w.get("op", "equals"), w["value"]
+        if op == "equals":
+            return c == v
+        if op == "regexp":
+            return c.rlike(v)
+        if op == "contains":
+            return c.contains(v)
+        if op == "startwith":
+            return c.startswith(v)
+        raise ValueError(op)
+
+    add_keys = sorted({k for case in cases for k in case.get("add", {})})
+    matched: Column = F.lit(False)
+    for case in cases:
+        matched = matched | pred(case["when"])
+    for k in add_keys:
+        col: Column = F.col(k) if k in df.columns else F.lit(None).cast("string")
+        # build the when-chain in case order (first match wins)
+        chain = None
+        for case in cases:
+            if k in case.get("add", {}):
+                branch = (pred(case["when"]), F.lit(case["add"][k]))
+                chain = [branch] if chain is None else chain + [branch]
+        expr = col
+        if chain:
+            expr = F.when(chain[0][0], chain[0][1])
+            for c_, v_ in chain[1:]:
+                expr = expr.when(c_, v_)
+            expr = expr.otherwise(col)
+        df = df.withColumn(k, expr)
+    if drop_if_not_match:
+        df = df.filter(matched)
+    return df
+
+
+def rate_limit(
+    df: DataFrame,
+    keys: list[str],
+    limit_per_key: int,
+    order_col: str = "ts",
+) -> DataFrame:
+    """processor_rate_limit (processor_rate_limit.go:26-33,100,
+    token_bucket.go:33-118): token-bucket per distinct value-combo of
+    ``keys``. Batch semantics: first ``limit_per_key`` events per key
+    in ``order_col`` order survive — a windowed row_number, which
+    Spark executes as one shuffle + per-partition streaming rank.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rl_rn", F.row_number().over(w))
+        .filter(F.col("_rl_rn") <= limit_per_key)
+        .drop("_rl_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+@register("processor_filter_regex")
+def _filter_regex_factory(**cfg):
+    inc = cfg.pop("Include", cfg.pop("include", None))
+    exc = cfg.pop("Exclude", cfg.pop("exclude", None))
+    return lambda df: filter_regex(df, include=inc, exclude=exc)
+
+
+@register("processor_filter_regex_native")
+def _filter_tree_factory(**cfg):
+    expr = cfg.pop("ConditionExp", cfg.pop("expr"))
+    return lambda df: filter_expression(df, expr)
+
+
+@register("processor_filter_key_regex")
+def _filter_key_factory(**cfg):
+    inc = cfg.pop("IncludeKeys", cfg.pop("include_keys", None))
+    exc = cfg.pop("ExcludeKeys", cfg.pop("exclude_keys", None))
+    return lambda df: filter_key_regex(df, include_keys=inc, exclude_keys=exc)
+
+
+@register("processor_timestamp_filter_native")
+def _filter_ts_factory(**cfg):
+    return lambda df: filter_timestamp(
+        df,
+        ts_col=cfg.pop("ts_col", "ts"),
+        begin=cfg.pop("begin", None),
+        end=cfg.pop("end", None),
+    )
+
+
+@register("processor_fields_with_condition")
+def _fwc_factory(**cfg):
+    cases = cfg.pop("Switch", cfg.pop("cases"))
+    drop = cfg.pop("DropIfNotMatchCondition", cfg.pop("drop_if_not_match", False))
+    return lambda df: fields_with_condition(df, cases, drop_if_not_match=drop)
+
+
+@register("processor_rate_limit")
+def _rl_factory(**cfg):
+    keys = cfg.pop("Fields", cfg.pop("keys"))
+    limit = cfg.pop("Limit", cfg.pop("limit_per_key"))
+    return lambda df: rate_limit(df, keys, int(limit))

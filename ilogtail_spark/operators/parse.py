@@ -1,0 +1,483 @@
+"""Parsers — the scan-time projection operators.
+
+All share the reference's CommonParserOptions failure contract
+(core/plugin/processor/CommonParserOptions.h:27-39, .cpp:91-99):
+
+  * parse success  -> extracted fields appear; source optionally kept;
+  * parse failure  -> source preserved under ``__raw_log__`` (rename)
+                      unless DiscardUnmatch, in which case the row is
+                      dropped entirely;
+  * success/failure is observable (``__parse_ok__`` flag) so per-sink
+    parse-failure counters match the reference's
+    out_failed_events_total / discarded_events_total
+    (core/monitor/metric_constants/PluginMetrics.cpp:118-122).
+
+In the columnar model "fields appear" = columns are non-null; a
+failed row has NULL extracted columns, ``__parse_ok__ = false`` and
+``__raw_log__`` = the source text.
+
+Two regex engines:
+  * native  — ``rlike`` + ``regexp_extract`` (JVM, whole-stage
+    codegen; the fast path);
+  * pandas  — one vectorized Arrow batch UDF doing a single Python
+    ``re`` pass per row returning every group at once (for dialect
+    features Java regex lacks; never per-row Python).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ilogtail_spark.operators.registry import register
+
+RAW_LOG_KEY = "__raw_log__"
+PARSE_OK_KEY = "__parse_ok__"
+
+
+@dataclass
+class ParserOptions:
+    """CommonParserOptions (core/plugin/processor/CommonParserOptions.h:27-39)."""
+
+    keep_source: bool = False  # KeepingSourceWhenParseSucceed
+    keep_source_if_fail: bool = True  # KeepingSourceWhenParseFail
+    discard_unmatch: bool = False  # drop failed rows entirely
+    raw_log_key: str = RAW_LOG_KEY  # RenamedSourceKey
+
+
+def _apply_failure_contract(
+    df: DataFrame, source: str, ok: Column, opts: ParserOptions
+) -> DataFrame:
+    df = df.withColumn(PARSE_OK_KEY, ok)
+    if opts.discard_unmatch:
+        df = df.filter(F.col(PARSE_OK_KEY))
+        df = df.withColumn(opts.raw_log_key, F.lit(None).cast("string"))
+    else:
+        df = df.withColumn(
+            opts.raw_log_key,
+            F.when(
+                ~F.col(PARSE_OK_KEY) & F.lit(opts.keep_source_if_fail),
+                F.col(source),
+            ),
+        )
+    if not opts.keep_source:
+        # keep the source text only where the failure contract demands it
+        df = df.withColumn(
+            source,
+            F.when(
+                ~F.col(PARSE_OK_KEY) & F.lit(opts.keep_source_if_fail), F.col(source)
+            ),
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
+# regex / grok
+# ---------------------------------------------------------------------------
+
+def parse_regex(
+    df: DataFrame,
+    pattern: str,
+    fields: list[str],
+    source: str = "text",
+    types: dict[str, str] | None = None,
+    options: ParserOptions | None = None,
+    full_match: bool = False,
+) -> DataFrame:
+    """processor_parse_regex_native / processor_regex.
+
+    Reference: core/plugin/processor/ProcessorParseRegexNative.cpp:132-259,
+    plugins/processor/regex/regex.go:105-129. Capture groups map to
+    ``fields`` in order; ``types`` optionally casts a field (grok's
+    int/float annotations, plugins/processor/grok/processor_grok.go:41-46).
+
+    Plan: one ``rlike`` for the match flag + one ``regexp_extract``
+    per group — all JVM expressions inside a single codegen stage; no
+    shuffle, fully pushdown-friendly.
+    """
+    opts = options or ParserOptions()
+    types = types or {}
+    pat = f"^{pattern}$" if full_match else pattern
+    ok = F.col(source).isNotNull() & F.col(source).rlike(pat)
+    out = df
+    for i, name in enumerate(fields):
+        col = F.when(ok, F.regexp_extract(F.col(source), pat, i + 1))
+        if name in types:
+            col = col.cast(types[name])
+        out = out.withColumn(name, col)
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+def parse_regex_pandas(
+    df: DataFrame,
+    pattern: str,
+    fields: list[str],
+    source: str = "text",
+    types: dict[str, str] | None = None,
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """Same semantics as :func:`parse_regex`, vectorized pandas engine.
+
+    One Arrow batch UDF does a single compiled-``re`` pass per row and
+    returns a struct of every capture group — the shape the north star
+    mandates for grok dissection when Java regex can't express the
+    dialect (lookbehind variants, \\p classes, regexp2 features used by
+    plugins/processor/grok/processor_grok.go:147-160).
+    """
+    opts = options or ParserOptions()
+    types = types or {}
+    schema = T.StructType(
+        [T.StructField(f, T.StringType()) for f in fields]
+        + [T.StructField("_ok", T.BooleanType())]
+    )
+
+    def make_udf(pat: str, nfields: int):
+        @F.pandas_udf(schema)
+        def extract(s: pd.Series) -> pd.DataFrame:
+            import re
+
+            rx = re.compile(pat)
+            ext = s.str.extract(rx, expand=True)
+            ok = ext.iloc[:, 0].notna() if nfields else s.str.match(rx)
+            ext.columns = list(schema.names[:-1])
+            ext["_ok"] = ok.fillna(False)
+            return ext
+
+        return extract
+
+    udf = make_udf(pattern, len(fields))
+    out = df.withColumn("_parsed", udf(F.col(source)))
+    for name in fields:
+        col = F.col(f"_parsed.{name}")
+        if name in types:
+            col = col.cast(types[name])
+        out = out.withColumn(name, col)
+    ok = F.coalesce(F.col("_parsed._ok"), F.lit(False))
+    out = out.drop("_parsed")
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+# ---------------------------------------------------------------------------
+# JSON
+# ---------------------------------------------------------------------------
+
+def parse_json(
+    df: DataFrame,
+    source: str = "text",
+    attrs_col: str = "attrs",
+    expand: list[str] | None = None,
+    types: dict[str, str] | None = None,
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_parse_json_native (ProcessorParseJsonNative.cpp:87-107).
+
+    Body parsed as a JSON object; each top-level field becomes a
+    content. Dynamic keys -> ``map<string,string>`` column; ``expand``
+    lifts chosen keys to top-level columns (processor_json's
+    ExpandDepth=1 behavior, plugins/processor/json/processor_json.go:29-42).
+    """
+    opts = options or ParserOptions()
+    types = types or {}
+    parsed = F.from_json(F.col(source), "map<string,string>")
+    ok = parsed.isNotNull()
+    out = df.withColumn(attrs_col, parsed)
+    for k in expand or []:
+        col = F.element_at(F.col(attrs_col), k)
+        if k in types:
+            col = col.cast(types[k])
+        out = out.withColumn(k, col)
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+def expand_json(
+    df: DataFrame,
+    source: str,
+    depth: int = 1,
+    connector: str = "_",
+    prefix: str = "",
+) -> DataFrame:
+    """processor_json nested expansion (processor_json.go:29-42,59).
+
+    Flattens nested objects up to ``depth`` with ``connector``-joined
+    key paths into a map column ``<source>_expanded``. Implemented as
+    repeated map explode/re-aggregation-free JVM expressions via
+    from_json into nested maps; depth>2 falls back to string maps of
+    JSON fragments (matching the reference's behavior of leaving
+    deeper values as raw JSON strings).
+    """
+    cur = F.from_json(F.col(source), "map<string,string>")
+    if depth <= 1:
+        out = cur
+    else:
+        # one extra level: values that are JSON objects get expanded
+        inner = "map<string,string>"
+
+        def level(mapcol: Column) -> Column:
+            entries = F.map_entries(mapcol)
+            expanded = F.flatten(
+                F.transform(
+                    entries,
+                    lambda kv: F.when(
+                        F.from_json(kv["value"], inner).isNotNull(),
+                        F.transform(
+                            F.map_entries(F.from_json(kv["value"], inner)),
+                            lambda kv2: F.struct(
+                                F.concat(
+                                    kv["key"], F.lit(connector), kv2["key"]
+                                ).alias("key"),
+                                kv2["value"].alias("value"),
+                            ),
+                        ),
+                    ).otherwise(F.array(kv)),
+                )
+            )
+            return F.map_from_entries(expanded)
+
+        out = level(cur)
+    if prefix:
+        out = F.map_from_entries(
+            F.transform(
+                F.map_entries(out),
+                lambda kv: F.struct(
+                    F.concat(F.lit(prefix), kv["key"]).alias("key"),
+                    kv["value"].alias("value"),
+                ),
+            )
+        )
+    return df.withColumn(f"{source}_expanded", out)
+
+
+# ---------------------------------------------------------------------------
+# CSV / delimiter
+# ---------------------------------------------------------------------------
+
+def parse_delimiter(
+    df: DataFrame,
+    fields: list[str],
+    source: str = "text",
+    sep: str = ",",
+    quote: str | None = '"',
+    allow_shortened: bool = False,
+    overflow: str = "extend",  # extend | keep | discard
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_parse_delimiter_native (ProcessorParseDelimiterNative.cpp:186-206)
+    + processor_csv (processor_csv.go:111).
+
+    With a quote char we delegate to ``from_csv`` (full RFC quote
+    semantics); without, a plain ``split`` + ``element_at`` (cheaper,
+    no quote scanning). Overflow treatment per the reference:
+      extend  -> surplus columns appear as __column{i}__
+      keep    -> surplus glued (unsplit) onto the last field
+      discard -> surplus dropped
+    Short rows fail the parse unless allow_shortened.
+    """
+    opts = options or ParserOptions()
+    n = len(fields)
+    if quote:
+        csv_schema = ", ".join(f"`{f}` string" for f in fields)
+        parsed = F.from_csv(
+            F.col(source), csv_schema, {"sep": sep, "quote": quote or '"'}
+        )
+        ncols = F.size(F.split(F.col(source), F.lit(sep), -1))  # approx for counters
+        out = df
+        for f_name in fields:
+            out = out.withColumn(f_name, parsed[f_name])
+        ok = parsed.isNotNull() & (
+            F.lit(allow_shortened) | parsed[fields[-1]].isNotNull()
+        )
+        return _apply_failure_contract(out, source, ok, opts)
+
+    parts = F.split(F.col(source), F.lit(sep), -1 if overflow != "keep" else n)
+    npart = F.size(parts)
+    ok = F.col(source).isNotNull() & (
+        (npart >= n) if not allow_shortened else F.lit(True)
+    )
+    out = df.withColumn("_parts", parts)
+    for i, f_name in enumerate(fields):
+        out = out.withColumn(
+            f_name,
+            F.when(ok, F.element_at(F.col("_parts"), i + 1)),
+        )
+    if overflow == "extend":
+        # surplus fields materialize as __column{i}__ up to a static cap
+        for j in range(n, n + 4):
+            out = out.withColumn(
+                f"__column{j}__",
+                F.when(npart > j, F.element_at(F.col("_parts"), j + 1)),
+            )
+    out = out.drop("_parts")
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+# ---------------------------------------------------------------------------
+# key-value
+# ---------------------------------------------------------------------------
+
+def parse_kv(
+    df: DataFrame,
+    source: str = "text",
+    pair_sep: str = "&",
+    kv_sep: str = "=",
+    attrs_col: str = "attrs",
+    expand: list[str] | None = None,
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_split_key_value (key_value_splitter.go:26-40,209) /
+    SPL parse-kv (core/unittest/spl/SplUnittest.cpp:565-630).
+
+    ``str_to_map`` is the exact JVM primitive. pair_sep accepts a
+    regex character class for multi-delimiter splits (the SPL test
+    uses delims '&?').
+    """
+    opts = options or ParserOptions()
+    parsed = F.str_to_map(F.col(source), F.lit(pair_sep), F.lit(kv_sep))
+    ok = F.col(source).isNotNull() & F.col(source).contains(kv_sep)
+    out = df.withColumn(attrs_col, F.when(ok, parsed))
+    for k in expand or []:
+        out = out.withColumn(k, F.element_at(F.col(attrs_col), k))
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+# ---------------------------------------------------------------------------
+# timestamps
+# ---------------------------------------------------------------------------
+
+def parse_timestamp(
+    df: DataFrame,
+    source: str,
+    fmt: str,
+    dest: str = "ts",
+    source_tz: str | None = None,
+    fallback_now: bool = False,
+) -> DataFrame:
+    """processor_parse_timestamp_native / processor_strptime / gotime
+    (ProcessorParseTimestampNative.cpp:100-126, strptime.go:191,
+    processor_gotime.go:169).
+
+    SPL failure semantics: unparseable time -> now()
+    (ProcessorSPL.cpp:126-134) when fallback_now; else NULL (row keeps
+    its previous event time via coalesce at the call site).
+    """
+    parsed = F.to_timestamp(F.col(source), fmt)
+    if source_tz:
+        parsed = F.to_utc_timestamp(parsed, source_tz)
+    if fallback_now:
+        parsed = F.coalesce(parsed, F.current_timestamp())
+    return df.withColumn(dest, parsed)
+
+
+# ---------------------------------------------------------------------------
+# apsara fixed-format
+# ---------------------------------------------------------------------------
+
+APSARA_PATTERN = r"^\[([^\]]+)\]\t\[(\w+)\]\t\[(\d+)\]\t\[([^\]]+)\](.*)$"
+
+
+def parse_apsara(
+    df: DataFrame,
+    source: str = "text",
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_parse_apsara_native (ProcessorParseApsaraNative.cpp:86-116).
+
+    ``[ts]\\t[LEVEL]\\t[tid]\\t[file:line]\\tk:v\\tk:v...`` — fixed
+    regex for the header + str_to_map for the trailing KV section.
+    """
+    opts = options or ParserOptions()
+    out = parse_regex(
+        df,
+        APSARA_PATTERN,
+        ["apsara_time", "level", "tid", "location", "_kvrest"],
+        source=source,
+        options=opts,
+    )
+    out = out.withColumn(
+        "attrs",
+        F.when(
+            F.col(PARSE_OK_KEY) & (F.length(F.trim(F.col("_kvrest"))) > 0),
+            F.str_to_map(F.trim(F.col("_kvrest")), F.lit("\t"), F.lit(":")),
+        ),
+    )
+    return out.drop("_kvrest")
+
+
+# ---------------------------------------------------------------------------
+# registry entries
+# ---------------------------------------------------------------------------
+
+def _opts_from_config(cfg: dict) -> ParserOptions:
+    return ParserOptions(
+        keep_source=cfg.pop("KeepSource", cfg.pop("keep_source", False)),
+        keep_source_if_fail=cfg.pop(
+            "KeepSourceIfParseError", cfg.pop("keep_source_if_fail", True)
+        ),
+        discard_unmatch=cfg.pop("DiscardUnmatch", cfg.pop("discard_unmatch", False)),
+    )
+
+
+@register("processor_parse_regex_native")
+@register("processor_regex")
+def _regex_factory(**cfg):
+    opts = _opts_from_config(cfg)
+    pattern = cfg.pop("Regex", cfg.pop("pattern"))
+    fields = cfg.pop("Keys", cfg.pop("fields"))
+    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    types = cfg.pop("types", None)
+    full = cfg.pop("FullMatch", cfg.pop("full_match", False))
+    return lambda df: parse_regex(
+        df, pattern, fields, source=source, types=types, options=opts, full_match=full
+    )
+
+
+@register("processor_parse_json_native")
+@register("processor_json")
+def _json_factory(**cfg):
+    opts = _opts_from_config(cfg)
+    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    expand = cfg.pop("expand", None)
+    return lambda df: parse_json(df, source=source, expand=expand, options=opts)
+
+
+@register("processor_parse_delimiter_native")
+@register("processor_csv")
+def _csv_factory(**cfg):
+    opts = _opts_from_config(cfg)
+    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    fields = cfg.pop("Keys", cfg.pop("fields"))
+    sep = cfg.pop("Separator", cfg.pop("sep", ","))
+    quote = cfg.pop("Quote", cfg.pop("quote", None))
+    return lambda df: parse_delimiter(
+        df, fields, source=source, sep=sep, quote=quote, options=opts
+    )
+
+
+@register("processor_split_key_value")
+def _kv_factory(**cfg):
+    opts = _opts_from_config(cfg)
+    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    pair_sep = cfg.pop("Delimiter", cfg.pop("pair_sep", "&"))
+    kv_sep = cfg.pop("Separator", cfg.pop("kv_sep", "="))
+    return lambda df: parse_kv(
+        df, source=source, pair_sep=pair_sep, kv_sep=kv_sep, options=opts
+    )
+
+
+@register("processor_parse_timestamp_native")
+@register("processor_strptime")
+def _ts_factory(**cfg):
+    source = cfg.pop("SourceKey", cfg.pop("source"))
+    fmt = cfg.pop("SourceFormat", cfg.pop("fmt"))
+    tz = cfg.pop("SourceTimezone", cfg.pop("source_tz", None))
+    return lambda df: parse_timestamp(df, source, fmt, source_tz=tz)
+
+
+@register("processor_parse_apsara_native")
+def _apsara_factory(**cfg):
+    opts = _opts_from_config(cfg)
+    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    return lambda df: parse_apsara(df, source=source, options=opts)

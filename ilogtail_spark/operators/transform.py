@@ -1,0 +1,271 @@
+"""Projection / enrichment / scalar transforms (SURVEY.md §2.4).
+
+Everything here is a pure JVM expression plan — no Python in the row
+loop, no shuffle. The one join (dictmap) is an explicit broadcast
+hash join: at 100 TB the fact side streams through map tasks while
+the ≤1000-row lookup rides the broadcast, exactly how the reference
+keeps its dict in memory per worker
+(plugins/processor/dictmap/processor_dict_map.go:96-135).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.registry import register
+
+
+def add_fields(
+    df: DataFrame, fields: dict[str, str], ignore_if_exist: bool = False
+) -> DataFrame:
+    """processor_add_fields (processor_add_fields.go:26-31,97)."""
+    for k, v in fields.items():
+        if ignore_if_exist and k in df.columns:
+            continue
+        df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def rename_fields(
+    df: DataFrame, mapping: dict[str, str], no_key_error: bool = False
+) -> DataFrame:
+    """processor_rename (processor_rename.go:26-34,150)."""
+    missing = [k for k in mapping if k not in df.columns]
+    if missing and no_key_error:
+        raise KeyError(f"rename: missing keys {missing}")
+    return df.withColumnsRenamed({k: v for k, v in mapping.items() if k in df.columns})
+
+
+def drop_fields(df: DataFrame, keys: list[str]) -> DataFrame:
+    """processor_drop (processor_drop.go:24-29,67)."""
+    return df.drop(*keys)
+
+
+def pick_fields(
+    df: DataFrame, include: list[str] | None = None, exclude: list[str] | None = None
+) -> DataFrame:
+    """processor_pick_key (processor_pick_key.go:26-37,114)."""
+    if include:
+        return df.select(*[c for c in df.columns if c in set(include)])
+    if exclude:
+        return df.drop(*exclude)
+    return df
+
+
+def dict_map(
+    df: DataFrame,
+    lookup: DataFrame,
+    source: str,
+    dest: str,
+    handle_missing: bool = True,
+    missing: str = "Unknown",
+    mode: str = "fill",  # fill: keep existing dest; overwrite: replace
+) -> DataFrame:
+    """processor_dict_map (processor_dict_map.go:30-41,96-187).
+
+    Broadcast hash join on the lookup key; Missing default via
+    coalesce. ``fill`` keeps a pre-existing dest column value when
+    present (reference mode DestKey exists + !Override).
+    """
+    lk, lv = lookup.columns[0], lookup.columns[1]
+    lookup = lookup.withColumnsRenamed({lk: "_dm_key", lv: "_dm_val"})
+    out = df.join(
+        F.broadcast(lookup), on=df[source] == lookup["_dm_key"], how="left"
+    ).drop("_dm_key")
+    mapped = F.col("_dm_val")
+    if handle_missing:
+        mapped = F.coalesce(mapped, F.lit(missing))
+    if mode == "fill" and dest in df.columns:
+        mapped = F.coalesce(F.col(dest), mapped)
+    return out.withColumn(dest, mapped).drop("_dm_val")
+
+
+def string_replace(
+    df: DataFrame,
+    source: str,
+    pattern: str,
+    replacement: str,
+    dest: str | None = None,
+    method: str = "regex",  # regex | const | unquote
+) -> DataFrame:
+    """processor_string_replace (processor_string_replace.go:41-56,143)."""
+    if method == "regex":
+        col = F.regexp_replace(F.col(source), pattern, replacement)
+    elif method == "const":
+        col = F.replace(F.col(source), F.lit(pattern), F.lit(replacement))
+    elif method == "unquote":
+        col = F.regexp_replace(F.col(source), r'^"(.*)"$', "$1")
+    else:
+        raise ValueError(method)
+    return df.withColumn(dest or source, col)
+
+
+def desensitize(
+    df: DataFrame,
+    source: str,
+    method: str = "const",  # const | md5
+    replacement: str = "********",
+    regex_begin: str | None = None,
+    regex_content: str | None = None,
+) -> DataFrame:
+    """processor_desensitize (+native)
+    (processor_desensitize.go:34-49,187, ProcessorDesensitizeNative.cpp:146-159).
+
+    Full-value mask, or region mask: content matched by
+    ``regex_begin + regex_content`` has the content part replaced.
+    """
+    if regex_begin and regex_content:
+        pat = f"({regex_begin}){regex_content}"
+        repl = f"$1{replacement}" if method == "const" else "$1<md5>"
+        col = F.regexp_replace(F.col(source), pat, repl)
+    elif method == "md5":
+        col = F.md5(F.col(source))
+    else:
+        col = F.lit(replacement)
+    return df.withColumn(source, col)
+
+
+def md5_field(df: DataFrame, source: str, dest: str) -> DataFrame:
+    """processor_md5 (processor_md5.go:26-31,67)."""
+    return df.withColumn(dest, F.md5(F.col(source)))
+
+
+def base64_encode(df: DataFrame, source: str, dest: str | None = None) -> DataFrame:
+    """processor_base64_encoding (processor_base64_encoding.go:25,70)."""
+    return df.withColumn(dest or source, F.base64(F.col(source).cast("binary")))
+
+
+def base64_decode(df: DataFrame, source: str, dest: str | None = None) -> DataFrame:
+    """processor_base64_decoding (processor_base64_decoding.go:25,71)."""
+    return df.withColumn(dest or source, F.unbase64(F.col(source)).cast("string"))
+
+
+def pack_json(df: DataFrame, keys: list[str], dest: str) -> DataFrame:
+    """processor_packjson (processor_packjson.go:26-33,96)."""
+    return df.withColumn(dest, F.to_json(F.struct(*[F.col(k) for k in keys])))
+
+
+def appender(df: DataFrame, fields: dict[str, str]) -> DataFrame:
+    """processor_appender (processor_appender.go:31-45,194) — append to
+    existing value (concat) rather than overwrite."""
+    for k, v in fields.items():
+        if k in df.columns:
+            df = df.withColumn(k, F.concat(F.coalesce(F.col(k), F.lit("")), F.lit(v)))
+        else:
+            df = df.withColumn(k, F.lit(v))
+    return df
+
+
+def tag_native(df: DataFrame, tags: dict[str, str]) -> DataFrame:
+    """processor_tag_native (ProcessorTagNative.cpp:96-140) — inject
+    host/env lineage tags as constant columns."""
+    return add_fields(df, {f"__tag__{k}": v for k, v in tags.items()})
+
+
+def drop_last_key(df: DataFrame, raw_key: str, ok_col: str = "__parse_ok__") -> DataFrame:
+    """processor_drop_last_key (processor_drop_last_key.go:26-33,92) —
+    null the raw source column on rows where parsing succeeded."""
+    if ok_col in df.columns:
+        return df.withColumn(raw_key, F.when(~F.col(ok_col), F.col(raw_key)))
+    return df.drop(raw_key)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+@register("processor_add_fields")
+def _add_factory(**cfg):
+    fields = cfg.pop("Fields", cfg.pop("fields"))
+    ign = cfg.pop("IgnoreIfExist", cfg.pop("ignore_if_exist", False))
+    return lambda df: add_fields(df, fields, ignore_if_exist=ign)
+
+
+@register("processor_rename")
+def _rename_factory(**cfg):
+    mapping = cfg.pop("mapping", None)
+    if mapping is None:
+        mapping = dict(zip(cfg.pop("SourceKeys"), cfg.pop("DestKeys")))
+    return lambda df: rename_fields(df, mapping)
+
+
+@register("processor_drop")
+def _drop_factory(**cfg):
+    keys = cfg.pop("DropKeys", cfg.pop("keys"))
+    return lambda df: drop_fields(df, keys)
+
+
+@register("processor_pick_key")
+def _pick_factory(**cfg):
+    inc = cfg.pop("Include", cfg.pop("include", None))
+    exc = cfg.pop("Exclude", cfg.pop("exclude", None))
+    return lambda df: pick_fields(df, include=inc, exclude=exc)
+
+
+@register("processor_string_replace")
+def _replace_factory(**cfg):
+    return lambda df: string_replace(
+        df,
+        cfg.pop("SourceKey", cfg.pop("source", "text")),
+        cfg.pop("Regex", cfg.pop("pattern")),
+        cfg.pop("ReplaceString", cfg.pop("replacement", "")),
+        dest=cfg.pop("DestKey", cfg.pop("dest", None)),
+        method=cfg.pop("Method", cfg.pop("method", "regex")),
+    )
+
+
+@register("processor_desensitize")
+def _desens_factory(**cfg):
+    return lambda df: desensitize(
+        df,
+        cfg.pop("SourceKey", cfg.pop("source", "text")),
+        method=cfg.pop("Method", cfg.pop("method", "const")),
+        replacement=cfg.pop("ReplaceString", cfg.pop("replacement", "********")),
+        regex_begin=cfg.pop("RegexBegin", cfg.pop("regex_begin", None)),
+        regex_content=cfg.pop("RegexContent", cfg.pop("regex_content", None)),
+    )
+
+
+@register("processor_md5")
+def _md5_factory(**cfg):
+    return lambda df: md5_field(
+        df, cfg.pop("SourceKey", cfg.pop("source")), cfg.pop("DestKey", cfg.pop("dest"))
+    )
+
+
+@register("processor_base64_encoding")
+def _b64e_factory(**cfg):
+    return lambda df: base64_encode(df, cfg.pop("SourceKey", cfg.pop("source")))
+
+
+@register("processor_base64_decoding")
+def _b64d_factory(**cfg):
+    return lambda df: base64_decode(df, cfg.pop("SourceKey", cfg.pop("source")))
+
+
+@register("processor_packjson")
+def _pack_factory(**cfg):
+    return lambda df: pack_json(
+        df, cfg.pop("SourceKeys", cfg.pop("keys")), cfg.pop("DestKey", cfg.pop("dest"))
+    )
+
+
+@register("processor_appender")
+def _appender_factory(**cfg):
+    return lambda df: appender(df, cfg.pop("Fields", cfg.pop("fields")))
+
+
+@register("processor_tag_native")
+def _tag_factory(**cfg):
+    return lambda df: tag_native(df, cfg.pop("tags"))
+
+
+@register("processor_drop_last_key")
+def _dlk_factory(**cfg):
+    return lambda df: drop_last_key(df, cfg.pop("DropKey", cfg.pop("raw_key")))
+
+
+@register("processor_default")
+def _default_factory(**cfg):
+    return lambda df: df
