@@ -311,6 +311,151 @@ def _q_hourly_histogram(spark: SparkSession, sf: str) -> DataFrame:
     return window_histogram(df, ts_col="ts", granularity="hour", keys=["tool"])
 
 
+def _q_grok(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.grok import grok_parse
+
+    df = derive_transcripts(spark, sf)
+    out = grok_parse(
+        df,
+        'invoke tool=%{WORD:g_tool} status=%{INT:g_status:int} '
+        'latency_ms=%{INT:g_lat:int} "%{WORD:g_method} %{NOTSPACE:g_url}" '
+        "err=%{NOTSPACE:g_err}",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col(PARSE_OK_KEY).alias("parse_ok"),
+        "g_tool",
+        "g_status",
+        "g_lat",
+        "g_method",
+        "g_url",
+        "g_err",
+    )
+
+
+def _q_logstore_router(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.operators.route import logstore_router
+
+    df = parse_stage(derive_transcripts(spark, sf))
+    routed = logstore_router(
+        df,
+        "url",
+        [(r"/api/v1/.*", "store_v1"), (r"/api/v2/.*", "store_v2")],
+        default_sink="store_other",
+    )
+    return routed.groupBy(F.col("__sink__").alias("sink")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf, "documents"))
+
+
+def _q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.dedup import minhash_signature, word_shingles
+
+    docs = load_table(spark, sf, "documents")
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(word_shingles(F.col("text")), num_hashes=8).alias("_sig"),
+    )
+    return sig.select(
+        "doc_id", *[F.col("_sig")[i].alias(f"m{i}") for i in range(8)]
+    )
+
+
+def _q_ngram_jaccard_top(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=1e-9)
+    return pairs.orderBy(
+        F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(20)
+
+
+def _q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.dedup import simhash64
+
+    return simhash64(load_table(spark, sf, "documents"))
+
+
+def _q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.textstats import doc_stats
+
+    out = doc_stats(load_table(spark, sf, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("punct_ratio"), 6).alias("punct_ratio"),
+        F.round(F.col("quality"), 6).alias("quality"),
+        "lang_guess",
+        "fp64",
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # approximate variant — recall<1 by design, driver records rows-only
+    from ilogtail_spark.functions.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, num_planes=6)
+
+
+def _q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # rows-only: LSH-bucketed candidate generation is approximate
+    from ilogtail_spark.functions.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.8, num_planes=6)
+
+
+def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.functions.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf, "documents"))
+    return extract_features(docs)
+
+
+def _q_fields_with_condition(spark: SparkSession, sf: str) -> DataFrame:
+    from ilogtail_spark.operators.filters import fields_with_condition
+
+    df = parse_stage(derive_transcripts(spark, sf)).filter(F.col(PARSE_OK_KEY))
+    df = df.withColumn("status_s", F.col("status").cast("string"))
+    out = fields_with_condition(
+        df,
+        [
+            {
+                "when": {"field": "status_s", "op": "startwith", "value": "5"},
+                "add": {"severity": "server_error"},
+            },
+            {
+                "when": {"field": "status_s", "op": "startwith", "value": "4"},
+                "add": {"severity": "client_error"},
+            },
+            {
+                "when": {"field": "status_s", "op": "regexp", "value": "^2\\d\\d$"},
+                "add": {"severity": "ok"},
+            },
+        ],
+    )
+    return out.groupBy("severity").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -331,12 +476,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_desensitize": _q_desensitize,
         "q17_rate_limit": _q_rate_limit,
         "q18_hourly_histogram": _q_hourly_histogram,
+        "q19_grok_parse": _q_grok,
+        "q20_logstore_router": _q_logstore_router,
+        "q21_dedup_exact": _q_dedup_exact,
+        "q22_minhash_signature": _q_minhash_signature,
+        "q23_ngram_jaccard_top": _q_ngram_jaccard_top,
+        "q24_simhash": _q_simhash,
+        "q25_doc_stats": _q_doc_stats,
+        "q26_ann_topk": _q_ann_topk,
+        "q27_ann_lsh": _q_ann_lsh,
+        "q28_embedding_neardup": _q_embedding_neardup,
+        "q29_multimodal_features": _q_multimodal,
+        "q30_fields_with_condition": _q_fields_with_condition,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB)
 # ---------------------------------------------------------------------------
+
+# shared shingle CTE (documents → distinct word-3-gram sets), the DuckDB
+# twin of functions/dedup.py::word_shingles
+_SHINGLES_CTE = r"""
+WITH _w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN len(w) >= 3
+      THEN list_transform(range(len(w)-2), i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+      ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM _w
+)
+"""
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    bits = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        for i in range(60)
+    )
+    return (
+        _SHINGLES_CTE
+        + f""",
+_g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+_h AS (SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv FROM _g),
+_s AS (SELECT doc_id, {sums} FROM _h GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM _s"""
+    )
+
+
+def _doc_stats_oracle() -> str:
+    from ilogtail_spark.functions.textstats import LANG_MARKERS, STOPWORDS_EN
+
+    def hits(words):
+        return " + ".join(
+            rf"CASE WHEN regexp_matches(lower(text), '\b{w}\b') THEN 1 ELSE 0 END"
+            for w in words
+        )
+
+    lang_scores = ",\n    ".join(
+        f"({hits(ws)}) AS s_{lang}" for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS.keys())
+    gmax = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    lang_case = (
+        f"CASE WHEN {gmax} <= 0 THEN 'unk' "
+        + " ".join(f"WHEN s_{lang} = {gmax} THEN '{lang}'" for lang in langs)
+        + " END"
+    )
+    return rf"""
+WITH _b AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+    END AS praw,
+    ({hits(STOPWORDS_EN)}) AS stop_hits,
+    {lang_scores}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
+  round(praw, 6) AS punct_ratio,
+  round((
+      (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0
+            WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN praw <= 0.2 THEN 1.0 ELSE 0.0 END)
+    + least(stop_hits / 5.0, 1.0)
+  ) / 3.0, 6) AS quality,
+  {lang_case} AS lang_guess,
+  ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp64
+FROM _b"""
+
+
+_GROK_PAT = (
+    r'invoke tool=(\w+) status=([+-]?\d+) latency_ms=([+-]?\d+)'
+    r' "(\w+) (\S+)" err=(\S+)'
+)
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -409,4 +650,65 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT date_trunc('hour', ts) AS bucket, tool,
                     CAST(count(*) AS BIGINT) AS n_events
              FROM transcripts GROUP BY 1, 2""",
+        "q19_grok_parse": TRANSCRIPTS_CTE
+        + f"""SELECT conv_id, turn_idx,
+                    regexp_matches(text, '{_GROK_PAT}') AS parse_ok,
+                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 1) END AS g_tool,
+                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN CAST(regexp_extract(text, '{_GROK_PAT}', 2) AS INTEGER) END AS g_status,
+                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN CAST(regexp_extract(text, '{_GROK_PAT}', 3) AS INTEGER) END AS g_lat,
+                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 4) END AS g_method,
+                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 5) END AS g_url,
+                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 6) END AS g_err
+             FROM transcripts""",
+        "q20_logstore_router": PARSED_CTE
+        + r"""SELECT CASE
+                WHEN url IS NOT NULL AND regexp_matches(url, '^(?:/api/v1/.*)$') THEN 'store_v1'
+                WHEN url IS NOT NULL AND regexp_matches(url, '^(?:/api/v2/.*)$') THEN 'store_v2'
+                ELSE 'store_other' END AS sink,
+              CAST(count(*) AS BIGINT) AS n_rows
+             FROM parsed GROUP BY 1""",
+        "q21_dedup_exact": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+                   CAST(count(*) AS BIGINT) AS n_copies
+            FROM documents GROUP BY 1""",
+        "q22_minhash_signature": _SHINGLES_CTE
+        + "SELECT doc_id, "
+        + ", ".join(
+            f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), 1, 15)::VARCHAR)::BIGINT)) AS m{i}"
+            for i in range(8)
+        )
+        + " FROM sh",
+        "q23_ngram_jaccard_top": _SHINGLES_CTE
+        + """, pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           )
+           SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard > 0
+           ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
+        "q24_simhash": _simhash_oracle(),
+        "q25_doc_stats": _doc_stats_oracle(),
+        "q26_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_dot_product(qv, cv)
+                                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+                       FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+                       FROM s)
+            SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+            FROM r WHERE rn <= 10""",
+        # q27_ann_lsh / q28_embedding_neardup: approximate by design;
+        # q29_multimodal_features: stubbed decode — rows-only checks.
+        "q30_fields_with_condition": PARSED_CTE
+        + r"""SELECT CASE
+                WHEN starts_with(CAST(status AS VARCHAR), '5') THEN 'server_error'
+                WHEN starts_with(CAST(status AS VARCHAR), '4') THEN 'client_error'
+                WHEN regexp_matches(CAST(status AS VARCHAR), '^2\d\d$') THEN 'ok'
+                END AS severity,
+              CAST(count(*) AS BIGINT) AS n_rows
+             FROM parsed WHERE parse_ok GROUP BY 1""",
     }

@@ -1,0 +1,192 @@
+"""Deduplication for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band →
+bucket-join), SimHash, and n-gram Jaccard. All hashing is md5-derived
+so every signature is bit-identical in DuckDB — the whole family is
+oracle-checkable, not just row counts.
+
+Scale design (100 TB): the LSH path is
+  shingle (narrow) → signature (narrow) → explode bands (narrow,
+  ×n_bands) → self-join on (band_idx, band_hash) (ONE shuffle keyed
+  by band hash — uniformly distributed by construction) → exact
+  verify on the candidate pairs only (second small join).
+No all-pairs stage ever materializes; candidate volume scales with
+true duplicate density, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Lowercased word k-gram shingle set (distinct)."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    # degenerate short docs: single shingle of the whole text
+    grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", words)))
+    return F.array_distinct(grams)
+
+
+def _md5_hash64(c: Column) -> Column:
+    """First 15 hex chars of md5 as signed BIGINT — cross-engine stable
+    (DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: h_i = min over shingles of
+    md5_64(i || ':' || shingle). Array<long> of length num_hashes."""
+    def hasher(prefix: str):
+        # single-arg lambda: a 2-arg lambda would be (element, index)
+        # to F.transform and the index Column would shadow the prefix
+        return lambda s: _md5_hash64(F.concat(F.lit(prefix), s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, hasher(f"{i}:")))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via md5 hash-groupBy: one row per distinct text with
+    the canonical (min) id and copy count."""
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    Signature of ``num_hashes`` minhashes split into ``bands`` bands
+    (rows = num_hashes // bands); docs colliding in ANY band become
+    candidates; candidates are verified with EXACT shingle Jaccard.
+    Output: (id_a, id_b, jaccard) with id_a < id_b, j >= threshold.
+    """
+    rows = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col)).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col("_sig")[b * rows + r].cast("string") for r in range(rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.withColumn("_band", F.explode(F.array(*band_cols))).select(
+        "_id", "_sh", F.col("_band.band_idx").alias("band_idx"),
+        F.col("_band.band_hash").alias("band_hash"),
+    )
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """SimHash over word 3-gram shingles with md5-derived gram hashes:
+    bit i of the signature is the sign of Σ_grams (±1 per gram's bit
+    i). 60 bits so the signature stays in a signed BIGINT in every
+    engine. Explode + one groupBy; bit-majority computed with 60
+    conditional sums (all codegen'd)."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col))).alias("_g"),
+    ).withColumn("_h", _md5_hash64(F.col("_g")))
+    sums = grams.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(60)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(60):
+        sig = sig + F.when(F.col(f"_b{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select(F.col("_id").alias("doc_id"), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Candidate-by-shared-shingle exact n-gram Jaccard: docs sharing
+    ≥1 shingle are candidates (inverted-index join on the shingle),
+    verified exactly. One shuffle on the shingle hash; hot shingles
+    can be frequency-capped upstream at scale."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col)).alias("_sh")
+    )
+    inv = sh.select("_id", F.explode("_sh").alias("_g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_sets = (
+        pairs.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        with_sets.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
+    )

@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query
+set against the full corpus, one narrow pass + one top-k-per-query
+window. Scale path: LSH sign-bucketing (deterministic md5-seeded
+hyperplanes) so candidate generation is a bucket equi-join instead of
+a cross product.
+
+Dot products run as JVM ``zip_with``/``aggregate`` expressions in
+double precision (left-to-right summation → bit-stable across
+engines); a vectorized pandas-UDF variant exists for wide vectors
+where Arrow+numpy beats codegen'd array loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double, left-to-right (cross-engine stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the query set, score
+    every (query, corpus) pair in one narrow stage, then a per-query
+    top-k window. Output: (query_id, neighbor_id, cos) — ties broken
+    by neighbor_id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = scored.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rn").alias("rank"))
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 —
+    reproducible everywhere without RNG state."""
+    vals = []
+    for j in range(dim):
+        h = hashlib.md5(f"plane:{plane_idx}:{j}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)  # ~U(-1,1)
+    return vals
+
+
+def lsh_sign_bucket(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    num_planes: int = 12,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign bits of projections
+    onto ``num_planes`` deterministic hyperplanes. Near-identical
+    vectors land in the same bucket w.h.p.; candidate generation then
+    joins on the bucket (uniform shuffle key)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bucket = bucket + F.when(dot(F.col(vec_col), plane) > 0, F.lit(2**p)).otherwise(
+            F.lit(0)
+        )
+    return df.withColumn(bucket_col, bucket)
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket.
+    (IVF-style: planes ≙ a hash-space coarse quantizer.) Recall < 1 by
+    design — the scale path when the query set itself is huge and
+    broadcast no longer applies."""
+    cb = lsh_sign_bucket(corpus, vec_col, num_planes).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    qb = lsh_sign_bucket(queries, vec_col, num_planes).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = cb.join(qb, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn(
+        "cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rn").alias("rank"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join:
+    only same-bucket pairs are scored. Output (id_a, id_b, cos)."""
+    b = lsh_sign_bucket(df, vec_col, num_planes).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+    )
+    pairs = (
+        b.alias("a")
+        .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+        )
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
+def cosine_pandas_udf():
+    """Vectorized Arrow/numpy cosine for wide vectors — batch matmul
+    beats per-element codegen once dims get large; returned as a
+    (Series, Series) -> Series pandas UDF."""
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(a.to_numpy())
+        B = np.stack(b.to_numpy())
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos

@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines over the documents table.
+
+All pure JVM expressions (regexp_* / length / split) — these run at
+full codegen speed over 100 TB of text with zero Python. Each has a
+DuckDB-expressible twin for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small curated stopword sets per language for the n-gram/stopword
+# language-ID heuristic (public-knowledge word lists).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+}
+
+PUNCT_CLASS = r"[.,;:!?]"
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish proxy: words + punct runs are
+    counted separately by token_count_bpeish)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_bpeish(col: Column) -> Column:
+    """A BPE-ish regex token count: alphanumeric runs and single
+    non-space symbols each count as one token."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^.,;:!?]", "")) / F.length(col)
+    )
+
+
+def upper_ratio(col: Column) -> Column:
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(col, r"[^A-Z]", "")) / F.length(col)
+    )
+
+
+def stopword_hits(col: Column, words: list[str] | None = None) -> Column:
+    """Number of distinct common-stopword types present (word-boundary
+    match, case-insensitive)."""
+    words = words or STOPWORDS_EN
+    hits = [
+        F.when(F.lower(col).rlike(rf"\b{w}\b"), 1).otherwise(0) for w in words
+    ]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out
+
+
+def quality_score(col: Column) -> Column:
+    """Composite document quality heuristic in [0,1]: length band +
+    punctuation sanity + stopword presence. Deterministic, no UDF."""
+    n = F.length(col)
+    len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(
+        F.when(n > 0, 0.5).otherwise(0.0)
+    )
+    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.least(stopword_hits(col) / F.lit(5.0), F.lit(1.0))
+    return (len_ok + punct_ok + stop_ok) / F.lit(3.0)
+
+
+def lang_id(col: Column) -> Column:
+    """Stopword-marker language ID: the language with the most distinct
+    marker hits wins; ties broken by fixed language order; no hits →
+    'unk'. Word-boundary, case-insensitive."""
+    scores = {
+        lang: stopword_hits(col, words) for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS.keys())
+    best = F.lit("unk")
+    best_score = F.lit(0)
+    # fixed iteration order => deterministic tie-break (first wins ties)
+    for lang in langs:
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def fingerprint64(col: Column) -> Column:
+    """Deterministic 64-bit document fingerprint from md5 (first 16 hex
+    chars → signed BIGINT) — a rolling-hash analogue that is
+    cross-engine reproducible (DuckDB: ('0x'||substr(md5(x),1,16))::UBIGINT
+    arithmetic)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": token_count(c),
+            "punct_ratio": punct_ratio(c),
+            "quality": quality_score(c),
+            "lang_guess": lang_id(c),
+            "fp64": fingerprint64(c),
+        }
+    )
