@@ -156,9 +156,11 @@ def parse_regex_pandas(
         if name in types:
             col = col.cast(types[name])
         out = out.withColumn(name, col)
-    ok = F.coalesce(F.col("_parsed._ok"), F.lit(False))
-    out = out.drop("_parsed")
-    return _apply_failure_contract(out, source, ok, opts)
+    out = out.withColumn(
+        "_pok", F.coalesce(F.col("_parsed._ok"), F.lit(False))
+    ).drop("_parsed")
+    out = _apply_failure_contract(out, source, F.col("_pok"), opts)
+    return out.drop("_pok")
 
 
 # ---------------------------------------------------------------------------

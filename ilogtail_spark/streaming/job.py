@@ -1,0 +1,86 @@
+"""Structured Streaming variant of the transcript pipeline.
+
+Reference mapping (SURVEY.md §2.10):
+  * 3 s aggregator flush interval  → trigger(processingTime=...)
+  * out-of-range timestamp drop    → withWatermark + filter
+  * per-source ordered context     → sortWithinPartitions in foreachBatch
+  * at-least-once + checkpoints    → Structured Streaming checkpointLocation
+                                     (exact-once into idempotent sinks)
+
+The SAME batch operator functions run inside foreachBatch — one
+operator library, two execution modes, like the reference running
+identical processor plugins under its real-time pipeline.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ilogtail_spark.plans.pipeline import enrich_stage, parse_stage, route_stage
+
+
+def streaming_transcripts(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    ),
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """File-stream source over a transcripts parquet directory —
+    the streaming analogue of input_file tailing (maxFilesPerTrigger
+    ≙ bounded process-queue back-pressure)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def build_streaming_query(
+    stream: DataFrame,
+    spark: SparkSession,
+    sink_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    trigger_seconds: int | None = None,
+    engine: str = "native",
+):
+    """parse → enrich → route inside foreachBatch, with a watermark
+    standing in for processor_timestamp_filter_native's late-data
+    policy."""
+    withwm = stream.withWatermark("ts", watermark)
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        routed = route_stage(
+            enrich_stage(parse_stage(batch_df, engine=engine), spark)
+        )
+        sink_fn(routed.sortWithinPartitions("conv_id", "turn_idx"), epoch_id)
+
+    writer = (
+        withwm.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
+def windowed_stream_agg(
+    stream: DataFrame, watermark: str = "1 hour", window: str = "1 hour"
+) -> DataFrame:
+    """Event-time windowed per-tool counts with late-data watermark —
+    the streaming twin of plans/pipeline.py::tool_histogram."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "tool")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("bucket"), "tool", "n_events")
+    )

@@ -1,0 +1,84 @@
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.agg import (
+    content_value_group,
+    salted_agg,
+    shard_partition,
+    window_histogram,
+)
+
+
+def _skewed(spark):
+    # one hot key holding 60% of rows — the shardhash scenario
+    rows = [("hot", i, float(i)) for i in range(60)] + [
+        (f"k{i}", i, float(i)) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "key string, v int, d double")
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["key"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in df.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("d").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["key"]): (r["n"], r["s"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["key"],
+            {"n": ("count", "*"), "s": ("sum", "d"), "mn": ("min", "v"), "mx": ("max", "v")},
+            salt_n=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_spreads_hot_key(spark):
+    df = _skewed(spark)
+    partial = (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8))
+        )
+        .groupBy("key", "_salt")
+        .count()
+    )
+    hot_parts = partial.filter(F.col("key") == "hot").count()
+    assert hot_parts > 1  # hot key split across salt buckets
+
+
+def test_shard_partition(spark):
+    df = _skewed(spark)
+    out = shard_partition(df, ["key"], num_shards=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert "__shardhash__" in out.columns
+    # same key always lands in the same shard
+    shards = out.select("key", F.spark_partition_id().alias("p")).distinct()
+    per_key = shards.groupBy("key").count().filter(F.col("count") > 1)
+    assert per_key.count() == 0
+
+
+def test_content_value_group(spark):
+    df = _skewed(spark)
+    out = {r["key"]: r["n_events"] for r in content_value_group(df, ["key"]).collect()}
+    assert out["hot"] == 60 and out["k0"] == 1
+
+
+def test_window_histogram(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 10:05:00", "bash"), ("2024-01-01 10:55:00", "bash"), ("2024-01-01 11:05:00", "read")],
+        "t string, tool string",
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    out = {
+        (r["bucket"].isoformat(), r["tool"]): r["n_events"]
+        for r in window_histogram(df, keys=["tool"]).collect()
+    }
+    assert out[("2024-01-01T10:00:00", "bash")] == 2
+    assert out[("2024-01-01T11:00:00", "read")] == 1

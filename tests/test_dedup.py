@@ -1,0 +1,49 @@
+from ilogtail_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun light"
+)
+NEAR = BASE.replace("afternoon", "evening")  # 1-word change → near-dup
+OTHER = "completely different text about spark pipelines and parquet files at scale"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, OTHER), (3, BASE)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark):
+    out = {r["canonical_id"]: r["n_copies"] for r in exact_dedup(_docs(spark)).collect()}
+    assert out[0] == 2  # doc 3 is an exact copy of doc 0
+    assert out[2] == 1
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    pairs = minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 3) in found  # exact dup always collides
+    assert (0, 1) in found or (1, 3) in found  # near-dup caught by LSH
+    assert all(2 not in p for p in found)
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), threshold=0.3).collect()}
+    assert pairs[(0, 3)] == 1.0
+    assert 0.5 < pairs[(0, 1)] < 1.0
+
+
+def test_simhash_similarity(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(_docs(spark)).collect()}
+    assert sigs[0] == sigs[3]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])

@@ -1,0 +1,120 @@
+"""End-to-end pipeline test vs a pure-Python row-by-row oracle —
+the reference's e2e verify DSL shape (test/engine/verify/count.go,
+log_field.go, log_order.go): per-sink routed-row set equality,
+per-sink aggregate counts, per-turn text equality under stable
+(conv_id, turn_idx) ordering, and metrics counters."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.plans.metrics import StageMetrics
+from ilogtail_spark.plans.pipeline import (
+    PARSE_OK_KEY,
+    enrich_stage,
+    parse_stage,
+    route_stage,
+    sink_aggregates,
+)
+from ilogtail_spark.sinks.writer import write_partitioned, write_per_sink
+from ilogtail_spark.sources.transcripts import (
+    GROK_PATTERN,
+    ROLE_LOOKUP,
+    TOOL_LOOKUP,
+    derive_transcripts,
+)
+
+RX = re.compile(GROK_PATTERN)
+ROLE_D = dict(ROLE_LOOKUP)
+TOOL_D = dict(TOOL_LOOKUP)
+
+
+def python_oracle(rows):
+    """Pure-Python reimplementation of parse→enrich→route."""
+    routed = []
+    for r in rows:
+        m = RX.search(r["text"])
+        ok = m is not None
+        err = m.group(6) if ok else None
+        tool_call = m.group(1) if ok else None
+        role_class = ROLE_D.get(r["role"], "Unknown")
+        sinks = []
+        if ok and err != "-":
+            sinks.append("sink_errors")
+        if r["role"] == "tool" or (ok and tool_call != "none"):
+            sinks.append("sink_tools")
+        if not ok:
+            sinks.append("sink_parse_fail")
+        conditional = list(sinks)
+        sinks.append("sink_all")
+        if not conditional:
+            sinks.append("default")
+        for s in sinks:
+            routed.append(
+                {
+                    "sink": s,
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "text": r["text"],
+                    "parse_ok": ok,
+                    "role_class": role_class,
+                }
+            )
+    return routed
+
+
+def test_e2e_routed_set_equality(spark, sf_dir, tmp_path):
+    base = derive_transcripts(spark, sf_dir)
+    input_rows = [r.asDict() for r in base.collect()]
+    expected = python_oracle(input_rows)
+
+    routed = route_stage(enrich_stage(parse_stage(base), spark))
+    got = routed.select("__sink__", "conv_id", "turn_idx", "text", PARSE_OK_KEY, "role_class").collect()
+
+    exp_set = {(e["sink"], e["conv_id"], e["turn_idx"], e["text"], e["parse_ok"], e["role_class"]) for e in expected}
+    got_set = {(g["__sink__"], g["conv_id"], g["turn_idx"], g["text"], g[PARSE_OK_KEY], g["role_class"]) for g in got}
+    assert exp_set == got_set
+    assert len(got) == len(expected)  # multiset equality (no dup copies)
+
+    # per-sink aggregate counts
+    agg = {r["__sink__"]: (r["n_turns"], r["n_parse_fail"]) for r in sink_aggregates(routed).collect()}
+    for sink in {e["sink"] for e in expected}:
+        exp_n = sum(1 for e in expected if e["sink"] == sink)
+        exp_f = sum(1 for e in expected if e["sink"] == sink and not e["parse_ok"])
+        assert agg[sink] == (exp_n, exp_f), sink
+
+
+def test_e2e_write_and_order(spark, sf_dir, tmp_path):
+    routed = route_stage(enrich_stage(parse_stage(derive_transcripts(spark, sf_dir)), spark))
+
+    # strategy 1: one-pass partitionBy write
+    out1 = str(tmp_path / "partitioned")
+    write_partitioned(routed, out1)
+    back = spark.read.parquet(out1)
+    assert back.count() == routed.count()
+    assert back.select("sink").distinct().count() == routed.select("__sink__").distinct().count()
+
+    # strategy 2: per-sink writes with stable (conv_id, turn_idx) order
+    out2 = str(tmp_path / "per_sink")
+    paths = write_per_sink(routed, out2, ["sink_errors", "sink_all"])
+    errors = spark.read.parquet(paths["sink_errors"])
+    assert errors.count() == routed.filter(F.col("__sink__") == "sink_errors").count()
+
+    # per-turn text equality under stable ordering vs source
+    src = derive_transcripts(spark, sf_dir).orderBy("conv_id", "turn_idx").collect()
+    got = spark.read.parquet(paths["sink_all"]).orderBy("conv_id", "turn_idx").collect()
+    assert len(src) == len(got)
+    for a, b in zip(src, got):
+        assert (a["conv_id"], a["turn_idx"], a["text"]) == (b["conv_id"], b["turn_idx"], b["text"])
+
+
+def test_metrics_observation(spark, sf_dir):
+    m = StageMetrics()
+    df = parse_stage(derive_transcripts(spark, sf_dir))
+    df = m.observe_stage(df, "parse")
+    total = df.count()
+    collected = m.collect()
+    assert collected[0]["stage"] == "parse"
+    assert collected[0]["in_events_total"] == total
+    fails = df.filter(~F.col(PARSE_OK_KEY)).count()
+    assert collected[0]["out_failed_events_total"] == fails

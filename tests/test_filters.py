@@ -1,0 +1,85 @@
+from ilogtail_spark.operators.filters import (
+    fields_with_condition,
+    filter_expression,
+    filter_key_regex,
+    filter_regex,
+    filter_timestamp,
+    rate_limit,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ERROR timeout", "a"),
+            (2, "INFO ok", "b"),
+            (3, "ERROR disk", None),
+        ],
+        "id int, msg string, extra string",
+    )
+
+
+def test_filter_regex_include_full_match(spark):
+    # Include requires FULL match (processor_filter_regex.go:33-41)
+    out = filter_regex(_df(spark), include={"msg": r"ERROR.*"})
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    out = filter_regex(_df(spark), include={"msg": "ERROR"})  # not full text
+    assert out.count() == 0
+
+
+def test_filter_regex_exclude(spark):
+    out = filter_regex(_df(spark), exclude={"msg": "timeout"})
+    assert sorted(r.id for r in out.collect()) == [2, 3]
+
+
+def test_filter_expression_tree(spark):
+    # ProcessorFilterNative.h NOT/AND/OR tree
+    expr = {"and": [{"key": "msg", "regex": "ERROR"}, {"not": {"key": "msg", "regex": "disk"}}]}
+    out = filter_expression(_df(spark), expr)
+    assert [r.id for r in out.collect()] == [1]
+
+
+def test_filter_key_regex(spark):
+    out = filter_key_regex(_df(spark), include_keys=["extra"])
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+    out = filter_key_regex(_df(spark), exclude_keys=["extra"])
+    assert [r.id for r in out.collect()] == [3]
+
+
+def test_filter_timestamp(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-06-01 00:00:00")], "id int, t string"
+    ).selectExpr("id", "cast(t as timestamp) as ts")
+    out = filter_timestamp(df, begin="2024-03-01", end="2024-12-31")
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_fields_with_condition_first_match_wins(spark):
+    df = spark.createDataFrame([(1, "ERROR x"), (2, "WARN y"), (3, "ok")], "id int, msg string")
+    out = fields_with_condition(
+        df,
+        [
+            {"when": {"field": "msg", "op": "startwith", "value": "ERROR"}, "add": {"sev": "high"}},
+            {"when": {"field": "msg", "op": "contains", "value": "R"}, "add": {"sev": "mid"}},
+        ],
+    ).orderBy("id").collect()
+    assert [r["sev"] for r in out] == ["high", "mid", None]
+
+
+def test_fields_with_condition_drop_no_match(spark):
+    df = spark.createDataFrame([(1, "ERROR"), (2, "fine")], "id int, msg string")
+    out = fields_with_condition(
+        df,
+        [{"when": {"field": "msg", "op": "equals", "value": "ERROR"}, "add": {"sev": "high"}}],
+        drop_if_not_match=True,
+    )
+    assert out.count() == 1
+
+
+def test_rate_limit(spark):
+    rows = [(f"k{i % 2}", j) for i in range(2) for j in range(10)]
+    df = spark.createDataFrame(rows, "key string, ts int")
+    out = rate_limit(df, ["key"], 3, order_col="ts")
+    assert out.count() == 6
+    kept = sorted((r.key, r.ts) for r in out.collect())
+    assert kept == [("k0", 0), ("k0", 1), ("k0", 2), ("k1", 0), ("k1", 1), ("k1", 2)]

@@ -1,0 +1,148 @@
+"""Golden per-operator parser tests — inline rows → transform → exact
+expected output, mirroring the reference's C++/Go unit-test shape
+(ProcessorParseRegexNativeUnittest.cpp, regex_test.go)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.grok import GrokError, compile_grok, grok_parse
+from ilogtail_spark.operators.parse import (
+    PARSE_OK_KEY,
+    RAW_LOG_KEY,
+    ParserOptions,
+    parse_delimiter,
+    parse_json,
+    parse_kv,
+    parse_regex,
+    parse_regex_pandas,
+    parse_timestamp,
+)
+
+PAT = r"(\w+) status=(\d+)"
+FIELDS = ["name", "code"]
+
+
+def _df(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
+
+
+def test_regex_success_and_failure(spark):
+    df = _df(spark, ["alpha status=200", "no match here"])
+    out = parse_regex(df, PAT, FIELDS).orderBy("id").collect()
+    assert out[0]["name"] == "alpha" and out[0]["code"] == "200"
+    assert out[0][PARSE_OK_KEY] is True and out[0][RAW_LOG_KEY] is None
+    assert out[1]["name"] is None
+    assert out[1][PARSE_OK_KEY] is False
+    # failure contract: raw log preserved (CommonParserOptions.h:27-39)
+    assert out[1][RAW_LOG_KEY] == "no match here"
+
+
+def test_regex_discard_unmatch(spark):
+    df = _df(spark, ["alpha status=200", "junk"])
+    out = parse_regex(df, PAT, FIELDS, options=ParserOptions(discard_unmatch=True))
+    assert out.count() == 1
+
+
+def test_regex_keep_source(spark):
+    df = _df(spark, ["alpha status=200"])
+    out = parse_regex(df, PAT, FIELDS, options=ParserOptions(keep_source=True)).first()
+    assert out["text"] == "alpha status=200"
+    # default: source nulled on success
+    out2 = parse_regex(df, PAT, FIELDS).first()
+    assert out2["text"] is None
+
+
+def test_regex_types(spark):
+    df = _df(spark, ["alpha status=200"])
+    out = parse_regex(df, PAT, FIELDS, types={"code": "int"}).first()
+    assert out["code"] == 200
+
+
+def test_pandas_engine_matches_native(spark):
+    texts = ["alpha status=200", "nope", None, "beta status=404 tail"]
+    df = _df(spark, texts)
+    a = parse_regex(df, PAT, FIELDS).orderBy("id").collect()
+    b = parse_regex_pandas(df, PAT, FIELDS).orderBy("id").collect()
+    for ra, rb in zip(a, b):
+        assert ra["name"] == rb["name"]
+        assert ra["code"] == rb["code"]
+        assert ra[PARSE_OK_KEY] == rb[PARSE_OK_KEY]
+        assert ra[RAW_LOG_KEY] == rb[RAW_LOG_KEY]
+
+
+def test_parse_json(spark):
+    df = _df(spark, ['{"a": "1", "b": "x"}', "not json"])
+    out = parse_json(df, expand=["a"], types={"a": "int"}).orderBy("id").collect()
+    assert out[0]["attrs"] == {"a": "1", "b": "x"} and out[0]["a"] == 1
+    assert out[1][PARSE_OK_KEY] is False and out[1][RAW_LOG_KEY] == "not json"
+
+
+def test_parse_delimiter_plain(spark):
+    df = _df(spark, ["a,b,c", "x,y"])
+    out = (
+        parse_delimiter(df, ["f1", "f2", "f3"], sep=",", quote=None)
+        .orderBy("id")
+        .collect()
+    )
+    assert (out[0]["f1"], out[0]["f2"], out[0]["f3"]) == ("a", "b", "c")
+    assert out[1][PARSE_OK_KEY] is False  # short row fails by default
+
+
+def test_parse_delimiter_quoted(spark):
+    df = _df(spark, ['a,"b,with,commas",c'])
+    out = parse_delimiter(df, ["f1", "f2", "f3"], sep=",", quote='"').first()
+    assert out["f2"] == "b,with,commas"
+
+
+def test_parse_kv(spark):
+    # SPL parse-kv test shape (SplUnittest.cpp:565-630)
+    df = _df(spark, ["k1=v1&k2=v2&k3=v3"])
+    out = parse_kv(df, pair_sep="&", kv_sep="=", expand=["k1", "k3"]).first()
+    assert out["attrs"] == {"k1": "v1", "k2": "v2", "k3": "v3"}
+    assert out["k1"] == "v1" and out["k3"] == "v3"
+
+
+def test_parse_timestamp(spark):
+    df = spark.createDataFrame([("2024-03-01 10:20:30",)], "t string")
+    out = parse_timestamp(df, "t", "yyyy-MM-dd HH:mm:ss", dest="ts").first()
+    assert out["ts"].isoformat() == "2024-03-01T10:20:30"
+
+
+def test_parse_timestamp_tz(spark):
+    df = spark.createDataFrame([("2024-03-01 10:20:30",)], "t string")
+    out = parse_timestamp(
+        df, "t", "yyyy-MM-dd HH:mm:ss", dest="ts", source_tz="Asia/Shanghai"
+    ).first()
+    assert out["ts"].isoformat() == "2024-03-01T02:20:30"  # UTC+8 shifted
+
+
+# --- grok ---------------------------------------------------------------
+
+def test_grok_compile():
+    # file-grok.yaml:30-37 fixture pattern
+    regex, fields, types = compile_grok(
+        "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} "
+        "%{NUMBER:bytes:int} %{NUMBER:duration:float}"
+    )
+    assert fields == ["client", "method", "request", "bytes", "duration"]
+    assert types == {"bytes": "int", "duration": "double"}
+    import re
+
+    m = re.match(regex, "10.0.0.0 GET /index.html 15824 0.043")
+    assert m and m.group(1) == "10.0.0.0" and m.group(4) == "15824"
+
+
+def test_grok_unknown_pattern():
+    with pytest.raises(GrokError):
+        compile_grok("%{NOPE:x}")
+
+
+def test_grok_parse_df(spark):
+    df = _df(spark, ["10.0.0.0 GET /index.html 15824 0.043", "garbage"])
+    out = (
+        grok_parse(df, "%{IP:client} %{WORD:method} %{URIPATHPARAM:request} %{NUMBER:bytes:int} %{NUMBER:duration}")
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["client"] == "10.0.0.0" and out[0]["bytes"] == 15824
+    assert out[1][PARSE_OK_KEY] is False

@@ -1,0 +1,67 @@
+import math
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine,
+    cosine_pandas_udf,
+    embedding_neardup_pairs,
+    lsh_sign_bucket,
+)
+
+
+def _vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.7071, 0.7071, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_expression(spark):
+    df = _vecs(spark)
+    a = df.filter("vec_id = 0").select(F.col("embedding").alias("a"))
+    b = df.filter("vec_id = 4").select(F.col("embedding").alias("b"))
+    v = a.crossJoin(b).select(cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert math.isclose(v, 0.7071, rel_tol=1e-3)
+
+
+def test_brute_force_topk(spark):
+    df = _vecs(spark)
+    out = brute_force_topk(df, df.filter("vec_id = 0"), k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 4]
+
+
+def test_lsh_bucket_groups_near_dups(spark):
+    df = _vecs(spark)
+    buckets = {r["vec_id"]: r["bucket"] for r in lsh_sign_bucket(df, num_planes=8).collect()}
+    assert buckets[0] == buckets[1]  # near-identical vectors same bucket
+
+
+def test_ann_lsh_contains_near_dup(spark):
+    df = _vecs(spark)
+    out = ann_lsh_topk(df, df.filter("vec_id = 0"), k=3, num_planes=4).collect()
+    assert 1 in [r["neighbor_id"] for r in out]
+
+
+def test_embedding_neardup_pairs(spark):
+    out = embedding_neardup_pairs(_vecs(spark), threshold=0.99, num_planes=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(0, 1)}
+
+
+def test_pandas_cosine_matches_native(spark):
+    df = _vecs(spark).select(
+        F.col("embedding").alias("a"), F.reverse(F.col("embedding")).alias("b")
+    )
+    cos_udf = cosine_pandas_udf()
+    rows = df.select(
+        F.round(cosine(F.col("a"), F.col("b")), 6).alias("native"),
+        F.round(cos_udf(F.col("a"), F.col("b")), 6).alias("pandas"),
+    ).collect()
+    for r in rows:
+        assert math.isclose(r["native"], r["pandas"], abs_tol=1e-6)

@@ -1,0 +1,66 @@
+"""Streaming variant: same operators under foreachBatch; result must
+equal the batch pipeline (exactly-once into an idempotent sink)."""
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.plans.pipeline import transcript_pipeline
+from ilogtail_spark.sources.transcripts import derive_transcripts
+from ilogtail_spark.streaming.job import (
+    build_streaming_query,
+    streaming_transcripts,
+    windowed_stream_agg,
+)
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "stream_src")
+    derive_transcripts(spark, sf_dir).repartition(6).write.parquet(src_dir)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(
+            df.select("__sink__", "conv_id", "turn_idx", "text").collect()
+        )
+
+    stream = streaming_transcripts(spark, src_dir, max_files_per_trigger=2)
+    q = build_streaming_query(
+        stream, spark, sink, checkpoint_dir=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    batch = transcript_pipeline(spark, sf_dir)
+    got = {(r["__sink__"], r["conv_id"], r["turn_idx"], r["text"]) for r in collected}
+    exp = {
+        (r["__sink__"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in batch.select("__sink__", "conv_id", "turn_idx", "text").collect()
+    }
+    assert got == exp
+    assert len(collected) == batch.count()
+
+
+def test_windowed_stream_agg(spark, sf_dir, tmp_path):
+    src_dir = str(tmp_path / "agg_src")
+    derive_transcripts(spark, sf_dir).write.parquet(src_dir)
+    stream = streaming_transcripts(spark, src_dir)
+    agg = windowed_stream_agg(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wagg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["bucket"].isoformat(), r["tool"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM wagg").collect()
+    }
+    exp = {
+        (r["bucket"].isoformat(), r["tool"]): r["n_events"]
+        for r in derive_transcripts(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "tool")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == exp

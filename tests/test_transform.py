@@ -1,0 +1,86 @@
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.transform import (
+    add_fields,
+    appender,
+    base64_decode,
+    base64_encode,
+    desensitize,
+    dict_map,
+    drop_fields,
+    md5_field,
+    pack_json,
+    pick_fields,
+    rename_fields,
+    string_replace,
+)
+
+
+def _lookup(spark):
+    return spark.createDataFrame(
+        [("user", "human"), ("assistant", "model")], "role string, role_class string"
+    )
+
+
+def test_dict_map_basic_and_missing(spark):
+    df = spark.createDataFrame(
+        [(1, "user"), (2, "assistant"), (3, "system")], "id int, role string"
+    )
+    out = dict_map(df, _lookup(spark), "role", "role_class").orderBy("id").collect()
+    assert [r["role_class"] for r in out] == ["human", "model", "Unknown"]
+
+
+def test_dict_map_no_missing_handling(spark):
+    df = spark.createDataFrame([(3, "system")], "id int, role string")
+    out = dict_map(df, _lookup(spark), "role", "role_class", handle_missing=False).first()
+    assert out["role_class"] is None
+
+
+def test_dict_map_fill_vs_overwrite(spark):
+    df = spark.createDataFrame(
+        [(1, "user", "preset"), (2, "assistant", None)],
+        "id int, role string, role_class string",
+    )
+    fill = dict_map(df, _lookup(spark), "role", "role_class", mode="fill").orderBy("id").collect()
+    assert [r["role_class"] for r in fill] == ["preset", "model"]
+    over = dict_map(df, _lookup(spark), "role", "role_class", mode="overwrite").orderBy("id").collect()
+    assert [r["role_class"] for r in over] == ["human", "model"]
+
+
+def test_dict_map_is_broadcast(spark):
+    df = spark.createDataFrame([(1, "user")], "id int, role string")
+    plan = dict_map(df, _lookup(spark), "role", "role_class")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_add_rename_drop_pick(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, a string")
+    out = add_fields(df, {"env": "prod"}).first()
+    assert out["env"] == "prod"
+    out = add_fields(df.withColumn("env", F.lit("keep")), {"env": "prod"}, ignore_if_exist=True).first()
+    assert out["env"] == "keep"
+    out = rename_fields(df, {"a": "b"})
+    assert "b" in out.columns and "a" not in out.columns
+    assert drop_fields(df, ["a"]).columns == ["id"]
+    assert pick_fields(df, include=["id"]).columns == ["id"]
+    assert pick_fields(df, exclude=["a"]).columns == ["id"]
+
+
+def test_string_replace_and_desensitize(spark):
+    df = spark.createDataFrame([(1, "pwd=secret123 user=bob")], "id int, text string")
+    out = string_replace(df, "text", r"pwd=\w+", "pwd=***").first()
+    assert out["text"] == "pwd=*** user=bob"
+    out = desensitize(df, "text", regex_begin=r"pwd=", regex_content=r"\w+", replacement="MASK").first()
+    assert out["text"] == "pwd=MASK user=bob"
+    out = desensitize(df, "text", method="md5").first()
+    assert len(out["text"]) == 32
+
+
+def test_base64_roundtrip_md5_packjson_appender(spark):
+    df = spark.createDataFrame([(1, "hello", "w")], "id int, a string, b string")
+    enc = base64_encode(df, "a", dest="e")
+    dec = base64_decode(enc, "e", dest="d").first()
+    assert dec["d"] == "hello"
+    assert len(md5_field(df, "a", "h").first()["h"]) == 32
+    assert pack_json(df, ["a", "b"], "j").first()["j"] == '{"a":"hello","b":"w"}'
+    assert appender(df, {"a": "!", "c": "new"}).first()["a"] == "hello!"
