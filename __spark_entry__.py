@@ -459,6 +459,82 @@ def _q_fields_with_condition(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("severity").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def _q_multiline_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_split_multiline_log_string_native semantics
+    (ProcessorSplitMultilineLogStringNative.cpp:95-127): regroup turns
+    into blocks starting at parseable 'invoke tool=' lines —
+    sessionization via running-sum window, merge via sorted
+    collect_list (split.py::split_regex)."""
+    from ilogtail_spark.operators.split import split_regex
+
+    df = derive_transcripts(spark, sf)
+    return split_regex(
+        df,
+        source="text",
+        start_pattern=r"^invoke tool=",
+        order_col="turn_idx",
+        group_cols=["conv_id"],
+    ).select("conv_id", "turn_idx", "text")
+
+
+def _q_anchor(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_anchor (anchor.go:33-62): substring between Start and
+    Stop anchors."""
+    from ilogtail_spark.operators.transform import anchor
+
+    df = derive_transcripts(spark, sf)
+    out = anchor(df, source="text", start="status=", stop=" latency_ms", dest="status_str")
+    return out.groupBy("status_str").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_gotime(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_gotime (processor_gotime.go:34-53): Go-layout time
+    parse + re-format src→dest."""
+    from ilogtail_spark.operators.transform import gotime
+
+    df = derive_transcripts(spark, sf).withColumn(
+        "ts_str", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    out = gotime(
+        df,
+        source="ts_str",
+        source_layout="2006-01-02 15:04:05",
+        dest="hour_str",
+        dest_layout="2006/01/02 15",
+    )
+    return out.groupBy("hour_str").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_metric_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_log_to_sls_metric (processor_log_to_sls_metric.go:
+    32-42,376): pivot parsed fields into metric events via stack()."""
+    from ilogtail_spark.operators.transform import log_to_metric
+
+    df = parse_stage(derive_transcripts(spark, sf)).filter(F.col(PARSE_OK_KEY))
+    out = log_to_metric(
+        df,
+        label_keys=["conv_id", "turn_idx", "tool_call"],
+        value_keys=["status", "latency_ms"],
+        time_col="ts",
+    )
+    return out.select(
+        "conv_id", "turn_idx", "tool_call", "ts",
+        F.col("__name__").alias("metric_name"),
+        F.col("__value__").alias("metric_value"),
+    )
+
+
+def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_encrypt (processor_encrypt.go:57-69): AES-CBC encrypt
+    then decrypt — the roundtrip output equals the original text, so
+    the oracle is the plain transcripts projection."""
+    from ilogtail_spark.operators.transform import decrypt_fields, encrypt_fields
+
+    df = derive_transcripts(spark, sf).select("conv_id", "turn_idx", "text")
+    enc = encrypt_fields(df, ["text"], secret="0123456789abcdef")
+    return decrypt_fields(enc, ["text"], secret="0123456789abcdef")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -491,6 +567,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_embedding_neardup": _q_embedding_neardup,
         "q29_multimodal_features": _q_multimodal,
         "q30_fields_with_condition": _q_fields_with_condition,
+        "q31_multiline_merge": _q_multiline_merge,
+        "q32_anchor": _q_anchor,
+        "q33_gotime": _q_gotime,
+        "q34_metric_pivot": _q_metric_pivot,
+        "q35_encrypt_roundtrip": _q_encrypt_roundtrip,
     }
 
 
@@ -714,4 +795,40 @@ def oracle_sql() -> dict[str, str]:
                 END AS severity,
               CAST(count(*) AS BIGINT) AS n_rows
              FROM parsed WHERE parse_ok GROUP BY 1""",
+        "q31_multiline_merge": TRANSCRIPTS_CTE
+        + r""",
+           marked AS (
+             SELECT conv_id, turn_idx, text,
+                    CASE WHEN regexp_matches(text, '^invoke tool=') THEN 1 ELSE 0 END AS is_start
+             FROM transcripts),
+           grp AS (
+             SELECT *, sum(is_start) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             FROM marked)
+           SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx,
+                  string_agg(text, chr(10) ORDER BY turn_idx) AS text
+           FROM grp GROUP BY conv_id, g""",
+        "q32_anchor": TRANSCRIPTS_CTE
+        + """
+           SELECT NULLIF(regexp_extract(text, 'status=(.*?) latency_ms', 1), '') AS status_str,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM transcripts GROUP BY 1""",
+        "q33_gotime": TRANSCRIPTS_CTE
+        + """
+           SELECT strftime(ts, '%Y/%m/%d %H') AS hour_str,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM transcripts GROUP BY 1""",
+        "q34_metric_pivot": PARSED_CTE
+        + """
+           SELECT conv_id, turn_idx, tool_call, ts, m.metric_name,
+                  m.metric_value
+           FROM parsed,
+                LATERAL (VALUES ('status', CAST(status AS DOUBLE)),
+                                ('latency_ms', CAST(latency_ms AS DOUBLE)))
+                  AS m(metric_name, metric_value)
+           WHERE parse_ok AND m.metric_value IS NOT NULL""",
+        "q35_encrypt_roundtrip": TRANSCRIPTS_CTE
+        + """
+           SELECT conv_id, turn_idx, text FROM transcripts""",
     }

@@ -73,36 +73,54 @@ def flagship_throughput(spark, sf_dir: str, replicate: int) -> tuple[float, int]
 
     n_turns = derive_transcripts(spark, sf_dir, replicate=replicate).count()
     t0 = time.perf_counter()
-    routed = transcript_pipeline(spark, sf_dir, replicate=replicate)
-    _force(routed)
-    _force(sink_aggregates(routed))
-    _force(tool_histogram(routed))
+    routed = transcript_pipeline(spark, sf_dir, replicate=replicate).persist()
+    try:
+        _force(routed)
+        _force(sink_aggregates(routed))
+        _force(tool_histogram(routed))
+    finally:
+        routed.unpersist()
     return time.perf_counter() - t0, n_turns
 
 
-def scaling_mode(sf_dir: str, replicate: int) -> None:
+def scaling_mode(sf_dir: str, replicate: int, n_low: int, runs: int) -> None:
+    """N vs 4N cores on the identical job/input. Reports the MEDIAN of
+    ``runs`` measured passes per core count: this sandbox is a shared
+    host with 4× run-to-run tail variance, and a single pass measures
+    the neighbours as much as the job."""
+    import statistics
+
     from pyspark.sql import SparkSession
 
     from ilogtail_spark.session import get_spark
 
     results = {}
-    for cores in (8, 32):
+    for cores in (n_low, 4 * n_low):
         active = SparkSession.getActiveSession()
         if active is not None:
             active.stop()
         spark = get_spark(f"bench-scaling-{cores}", cores=cores)
-        # warm-up run (JIT + shuffle service), then measured run
+        # warm-up (JIT + codegen), then measured passes
         flagship_throughput(spark, sf_dir, replicate=max(1, replicate // 10))
-        secs, n = flagship_throughput(spark, sf_dir, replicate=replicate)
-        results[cores] = {"sec": round(secs, 2), "turns": n,
-                          "turns_per_sec": round(n / secs, 1)}
+        secs, n = [], 0
+        for _ in range(max(1, runs)):
+            s, n = flagship_throughput(spark, sf_dir, replicate=replicate)
+            secs.append(s)
+        med = statistics.median(secs)
+        results[cores] = {
+            "sec_median": round(med, 2),
+            "sec_all": [round(s, 2) for s in secs],
+            "turns": n,
+            "turns_per_sec": round(n / med, 1),
+        }
         spark.stop()
-    speedup = results[32]["turns_per_sec"] / results[8]["turns_per_sec"]
+    speedup = results[4 * n_low]["turns_per_sec"] / results[n_low]["turns_per_sec"]
     eff = speedup / 4.0
     print(json.dumps({
         "mode": "scaling", "replicate": replicate, "sf_dir": sf_dir,
-        "local8": results[8], "local32": results[32],
-        "speedup_8_to_32": round(speedup, 3),
+        f"local{n_low}": results[n_low],
+        f"local{4 * n_low}": results[4 * n_low],
+        "speedup_N_to_4N": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "rule": "throughput scaling efficiency >=0.8 from N to 4N cores",
         "pass": eff >= 0.8,
@@ -113,6 +131,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--replicate", type=int, default=100)
+    ap.add_argument("--n-low", type=int, default=4,
+                    help="N for the N-vs-4N pair (default 4 -> local[4] vs local[16])")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="measured passes per core count; median reported")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,7 +142,7 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     if args.scaling:
-        scaling_mode(sf_dir, args.replicate)
+        scaling_mode(sf_dir, args.replicate, args.n_low, args.runs)
         return
 
     from ilogtail_spark.session import get_spark

@@ -1,0 +1,22 @@
+"""Shared plan helpers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the
+    input arrives in fewer partitions (e.g. one small parquet file).
+
+    At 100 TB the scan already yields thousands of splits and this is
+    a no-op; at test scale it keeps narrow per-row work (regex parse,
+    shingle build, replicate-explode) off a single core. Targets 2
+    tasks per core: with exactly one task per core any OS jitter on
+    one core stretches the whole stage (observed 4× tail variance on
+    this shared host); 2× gives the scheduler room to rebalance.
+    """
+    target = 2 * df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -20,19 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Repartition up to the session's default parallelism when the
-    input arrives in fewer partitions (e.g. one small parquet file).
-
-    At 100 TB the scan already yields thousands of partitions and this
-    is a no-op; at test scale it keeps the per-row shingle/hash work
-    (interpreted higher-order-function eval, not codegen) from running
-    on a single core.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from ilogtail_spark.common import spread  # noqa: F401  (canonical home)
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:

@@ -123,3 +123,22 @@ def grok_parse(
     # only emits (?:...) for unaliased refs
     fn = parse_regex if engine == "native" else parse_regex_pandas
     return fn(df, regex, fields, source=source, types=types, options=options)
+
+
+from ilogtail_spark.operators.registry import register  # noqa: E402
+
+
+@register("processor_grok")
+def _grok_factory(**cfg):
+    """processor_grok (processor_grok.go:41-55,147-192): Match takes
+    an ordered list of grok expressions; first success wins. We apply
+    the first pattern (multi-pattern chains compose via
+    fields_with_condition in config)."""
+    patterns = cfg.get("Match", cfg.get("patterns"))
+    pattern = patterns[0] if isinstance(patterns, list) else patterns
+    return lambda df: grok_parse(
+        df,
+        pattern,
+        source=cfg.get("SourceKey", cfg.get("source", "text")),
+        custom_patterns=cfg.get("CustomPatterns", cfg.get("custom_patterns")),
+    )

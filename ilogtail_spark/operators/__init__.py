@@ -9,4 +9,16 @@ assemble chains exactly like the reference's collection configs
 
 from ilogtail_spark.operators.registry import OPERATORS, register
 
+# importing the submodules populates the registry (each plugin
+# registers by reference name, mirroring plugins.yml's import manifest)
+from ilogtail_spark.operators import (  # noqa: E402,F401
+    agg,
+    filters,
+    parse,
+    route,
+    split,
+    transform,
+)
+from ilogtail_spark.functions import grok  # noqa: E402,F401
+
 __all__ = ["OPERATORS", "register"]

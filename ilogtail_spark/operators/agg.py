@@ -139,3 +139,48 @@ def pack_id(df: DataFrame, pack_col: str = "__pack_id__") -> DataFrame:
             F.monotonically_increasing_id().cast("string"),
         ),
     )
+
+
+def context_order(
+    df: DataFrame, group_cols: Sequence[str] = ("conv_id",), order_col: str = "turn_idx"
+) -> DataFrame:
+    """aggregator_context (aggregator_context.go:38-57,286): preserve
+    per-source order — repartition by source, sort within partitions
+    on the order key. This is the stable (conv_id, turn_idx) ordering
+    the north star's per-turn text equality is checked under."""
+    return df.repartition(*[F.col(c) for c in group_cols]).sortWithinPartitions(
+        *group_cols, order_col
+    )
+
+
+from ilogtail_spark.operators.registry import register  # noqa: E402
+
+
+@register("aggregator_shardhash")
+def _shard_factory(**cfg):
+    return lambda df: shard_partition(
+        df,
+        keys=cfg.get("SourceKeys", cfg.get("keys")),
+        num_shards=cfg.get("ShardCount", cfg.get("num_shards", 32)),
+        salt_n=cfg.get("salt_n", 1),
+    )
+
+
+@register("aggregator_content_value_group")
+def _cvg_factory(**cfg):
+    return lambda df: content_value_group(df, keys=cfg.get("GroupKeys", cfg.get("keys")))
+
+
+@register("aggregator_base")
+@register("aggregator_default")
+def _pack_factory(**cfg):
+    return lambda df: pack_id(df)
+
+
+@register("aggregator_context")
+def _ctx_factory(**cfg):
+    return lambda df: context_order(
+        df,
+        group_cols=cfg.get("group_cols", ("conv_id",)),
+        order_col=cfg.get("order_col", "turn_idx"),
+    )

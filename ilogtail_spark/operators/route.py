@@ -128,3 +128,19 @@ def dynamic_sink_name(
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
     return df.withColumn(sink_col, F.concat(*parts) if parts else F.lit(template))
+
+
+from ilogtail_spark.operators.registry import register  # noqa: E402
+
+
+@register("aggregator_logstore_router")
+def _router_factory(**cfg):
+    return lambda df: logstore_router(
+        df,
+        source=cfg.get("SourceKey", cfg.get("source")),
+        rules=list(zip(
+            cfg.get("RouterRegex", cfg.get("patterns", [])),
+            cfg.get("RouterLogstore", cfg.get("sinks", [])),
+        )),
+        drop_dismatch=cfg.get("DropDisMatch", cfg.get("drop_dismatch", False)),
+    )

@@ -76,7 +76,23 @@ def split_regex(
 
 @register("processor_split_string_native")
 @register("processor_split_log_string")
+@register("processor_split_char")
+@register("processor_split_string")
 def _split_factory(**cfg):
     source = cfg.pop("SourceKey", cfg.pop("source", "text"))
     sep = cfg.pop("SplitSep", cfg.pop("sep", "\n"))
     return lambda df: split_string(df, source=source, sep=sep)
+
+
+@register("processor_split_log_regex")
+@register("processor_split_multiline_log_string_native")
+@register("processor_merge_multiline_log_native")
+def _split_regex_factory(**cfg):
+    return lambda df: split_regex(
+        df,
+        source=cfg.get("SourceKey", cfg.get("source", "text")),
+        start_pattern=cfg.get("SplitRegex", cfg.get("start_pattern")),
+        order_col=cfg.get("order_col", "turn_idx"),
+        group_cols=cfg.get("group_cols", ["conv_id"]),
+        dest=cfg.get("dest"),
+    )

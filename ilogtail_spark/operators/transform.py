@@ -171,6 +171,110 @@ def drop_last_key(df: DataFrame, raw_key: str, ok_col: str = "__parse_ok__") -> 
     return df.drop(raw_key)
 
 
+def anchor(
+    df: DataFrame,
+    source: str,
+    start: str,
+    stop: str,
+    dest: str,
+    expand_json: bool = False,
+) -> DataFrame:
+    """processor_anchor (anchor.go:33-62,228): substring strictly
+    between the Start and Stop anchor strings → dest field; missing
+    anchor → null (reference NoAnchorError path). expand_json expands
+    the extracted value as a flat string map."""
+    import re as _re
+
+    pat = f"{_re.escape(start)}(.*?){_re.escape(stop)}"
+    col = F.regexp_extract(F.col(source), pat, 1)
+    # regexp_extract yields '' on no-match; reference drops the field
+    col = F.when(col != "", col)
+    out = df.withColumn(dest, col)
+    if expand_json:
+        out = out.withColumn(dest, F.from_json(F.col(dest), "map<string,string>"))
+    return out
+
+
+_GO_LAYOUT = [  # Go reference-time tokens → Spark datetime pattern (longest first)
+    ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
+    ("04", "mm"), ("05", "ss"), ("Jan", "MMM"), ("Mon", "EEE"),
+    ("-0700", "xx"), ("Z07:00", "XXX"), ("PM", "a"), (".000", ".SSS"),
+]
+
+
+def go_layout_to_spark(layout: str) -> str:
+    """Translate a Go time layout (processor_gotime.go:34-53) into a
+    Spark/JDK datetime pattern. Covers the tokens the reference's docs
+    and tests exercise; unknown runs pass through verbatim."""
+    out = layout
+    for go, jdk in _GO_LAYOUT:
+        out = out.replace(go, jdk)
+    return out
+
+
+def gotime(
+    df: DataFrame,
+    source: str,
+    source_layout: str,
+    dest: str,
+    dest_layout: str,
+) -> DataFrame:
+    """processor_gotime (processor_gotime.go:34-53,169): parse source
+    with a Go layout, re-format into dest with another Go layout."""
+    ts = F.to_timestamp(F.col(source), go_layout_to_spark(source_layout))
+    return df.withColumn(dest, F.date_format(ts, go_layout_to_spark(dest_layout)))
+
+
+def encrypt_fields(
+    df: DataFrame, keys: list[str], secret: str, iv: str | None = None
+) -> DataFrame:
+    """processor_encrypt (processor_encrypt.go:57-69,211): AES-CBC
+    encrypt listed fields in place (hex-encoded, like the reference's
+    EncodeHex default). Deterministic when an IV is pinned."""
+    for k in keys:
+        enc = F.aes_encrypt(
+            F.col(k).cast("binary"),
+            F.lit(secret.encode()),
+            F.lit("CBC"),
+            F.lit("PKCS"),
+            F.lit((iv or "").encode()),
+        )
+        df = df.withColumn(k, F.hex(enc))
+    return df
+
+
+def decrypt_fields(
+    df: DataFrame, keys: list[str], secret: str
+) -> DataFrame:
+    """Inverse of :func:`encrypt_fields` (hex → AES-CBC decrypt)."""
+    for k in keys:
+        dec = F.aes_decrypt(
+            F.unhex(F.col(k)), F.lit(secret.encode()), F.lit("CBC"), F.lit("PKCS")
+        )
+        df = df.withColumn(k, dec.cast("string"))
+    return df
+
+
+def log_to_metric(
+    df: DataFrame,
+    label_keys: list[str],
+    value_keys: list[str],
+    time_col: str = "ts",
+) -> DataFrame:
+    """processor_log_to_sls_metric
+    (processor_log_to_sls_metric.go:32-42,376): pivot log fields into
+    metric events — one output row per (input row × value key) with
+    (labels, __name__, __value__, ts). stack() keeps it narrow (a
+    generator, no shuffle)."""
+    n = len(value_keys)
+    stack_args = ", ".join(f"'{k}', cast(`{k}` as double)" for k in value_keys)
+    return df.select(
+        *label_keys,
+        F.col(time_col),
+        F.expr(f"stack({n}, {stack_args}) as (__name__, __value__)"),
+    ).filter(F.col("__value__").isNotNull())
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -264,6 +368,69 @@ def _tag_factory(**cfg):
 @register("processor_drop_last_key")
 def _dlk_factory(**cfg):
     return lambda df: drop_last_key(df, cfg.pop("DropKey", cfg.pop("raw_key")))
+
+
+@register("processor_anchor")
+def _anchor_factory(**cfg):
+    return lambda df: anchor(
+        df,
+        source=cfg.get("SourceKey", cfg.get("source", "text")),
+        start=cfg.get("Start", cfg.get("start")),
+        stop=cfg.get("Stop", cfg.get("stop")),
+        dest=cfg.get("FieldName", cfg.get("dest")),
+        expand_json=cfg.get("ExpandJson", cfg.get("expand_json", False)),
+    )
+
+
+@register("processor_gotime")
+def _gotime_factory(**cfg):
+    return lambda df: gotime(
+        df,
+        source=cfg.get("SourceKey", cfg.get("source")),
+        source_layout=cfg.get("SourceFormat", cfg.get("source_layout")),
+        dest=cfg.get("DestKey", cfg.get("dest")),
+        dest_layout=cfg.get("DestFormat", cfg.get("dest_layout")),
+    )
+
+
+@register("processor_encrypt")
+def _encrypt_factory(**cfg):
+    return lambda df: encrypt_fields(
+        df,
+        keys=cfg.get("SourceKeys", cfg.get("keys")),
+        secret=cfg.get("EncryptionParameters", cfg.get("secret")),
+        iv=cfg.get("IV", cfg.get("iv")),
+    )
+
+
+@register("processor_log_to_sls_metric")
+def _l2m_factory(**cfg):
+    return lambda df: log_to_metric(
+        df,
+        label_keys=cfg.get("MetricLabelKeys", cfg.get("label_keys")),
+        value_keys=cfg.get("MetricValues", cfg.get("value_keys")),
+        time_col=cfg.get("MetricTimeKey", cfg.get("time_col", "ts")),
+    )
+
+
+@register("processor_dict_map")
+def _dictmap_factory(**cfg):
+    """Inline-dict variant (processor_dict_map.go:30-41): MapDict is a
+    literal {value: mapped} dict in the config; the lookup DataFrame
+    is built from it at plan time and broadcast."""
+    mapping = cfg.get("MapDict", cfg.get("mapping"))
+    source = cfg.get("SourceKey", cfg.get("source"))
+    dest = cfg.get("DestKey", cfg.get("dest", source))
+    missing = cfg.get("Missing", cfg.get("missing", "Unknown"))
+    mode = cfg.get("Mode", cfg.get("mode", "fill"))
+
+    def run(df):
+        lookup = df.sparkSession.createDataFrame(
+            list(mapping.items()), ["_k", "_v"]
+        )
+        return dict_map(df, lookup, source, dest, missing=missing, mode=mode)
+
+    return run
 
 
 @register("processor_default")

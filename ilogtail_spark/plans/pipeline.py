@@ -22,6 +22,7 @@ from ilogtail_spark.operators.parse import (
     PARSE_OK_KEY,
     RAW_LOG_KEY,
     ParserOptions,
+    parse_dissect,
     parse_regex,
     parse_regex_pandas,
 )
@@ -56,12 +57,21 @@ def build_pipeline(config: list[dict]):
     return run
 
 
-def parse_stage(df: DataFrame, engine: str = "native") -> DataFrame:
+def parse_stage(df: DataFrame, engine: str = "dissect") -> DataFrame:
     """Grok/regex dissection of each turn's text: tool invocations,
     status, latency tokens, method/url, error codes. CommonParserOptions
-    failure contract (__raw_log__ + __parse_ok__)."""
+    failure contract (__raw_log__ + __parse_ok__).
+
+    engine: "dissect" (default — the grok pattern compiles to a
+    single-pass structural plan, oracle-identical to the regex and the
+    only parse path that scales past ~8 threads on this substrate),
+    "native" (JVM regexp_extract), or "pandas" (Arrow batch UDF)."""
     opts = ParserOptions(keep_source=True, keep_source_if_fail=True)
-    fn = parse_regex if engine == "native" else parse_regex_pandas
+    fn = {
+        "dissect": parse_dissect,
+        "native": parse_regex,
+        "pandas": parse_regex_pandas,
+    }[engine]
     return fn(
         df, GROK_PATTERN, GROK_FIELDS, source="text", types=PARSE_TYPES, options=opts
     )

@@ -56,7 +56,14 @@ def derive_transcripts(
     each event row becomes `replicate` turns with distinct synthetic
     event ids ``e*replicate + r`` — still fully deterministic.
     """
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    from ilogtail_spark.common import spread
+
+    # one small parquet file arrives as one split; spread the narrow
+    # per-row derivation (and any replicate-explode) across cores —
+    # no-op at real scale where the scan yields thousands of splits
+    ev = spread(
+        load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    )
     if replicate > 1:
         ev = ev.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))))
         ev = ev.select(
@@ -131,22 +138,34 @@ def derive_transcripts(
         F.concat(F.lit("conv-"), F.lpad(conv_num.cast("string"), 8, "0"))
     )
 
-    df = ev.select(
+    # turn_idx in CLOSED FORM — equal to
+    # row_number() over (partition by conv_id order by e) - 1, but
+    # with zero shuffle. A window here would funnel the hot
+    # conversation's ~28% of ALL rows through ONE task (windows can't
+    # be salted: ordering is global per partition key), which caps
+    # scaling at ~3.5x no matter the core count. event_id is dense
+    # 0..N-1 (TESTDATA.md, seeded generator), so ranks are arithmetic:
+    #  * hot rows (e%7<2): rank among all hot = 2*(e//7) + min(e%7,2)
+    #  * cold rows: block k=e//8 holds j=e%8 ∈ [0,8); member j is hot
+    #    iff (k+j)%7<2 (8k≡k mod 7), i.e. j ∈ {(7-k%7)%7, (8-k%7)%7}
+    #    (j=7 re-hits class k%7, but then the row IS hot and takes the
+    #    hot branch) → rank = j - [a<j] - [b<j]
+    j = e % 8
+    k = ((e - j) / 8).cast("long")
+    m = k % 7
+    a = (7 - m) % 7
+    b = (8 - m) % 7
+    cold_idx = j - (a < j).cast("int") - (b < j).cast("int")
+    hot_idx = 2 * ((e - e % 7) / 7).cast("long") + F.least(e % 7, F.lit(2))
+    turn_idx = F.when(e % 7 < 2, hot_idx).otherwise(cold_idx).cast("int")
+
+    return ev.select(
         conv_id.alias("conv_id"),
-        e.alias("_e"),
+        turn_idx.alias("turn_idx"),
         role.alias("role"),
         text.alias("text"),
         tool.alias("tool"),
         F.col("ts"),
-    )
-    w = Window.partitionBy("conv_id").orderBy("_e")
-    return df.select(
-        "conv_id",
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
-        "role",
-        "text",
-        "tool",
-        "ts",
     )
 
 
