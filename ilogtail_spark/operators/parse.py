@@ -281,26 +281,31 @@ def parse_dissect(
     # nodes after pushdown, a megabytes-large physical plan, and a
     # 50× slowdown on filter(__parse_ok__) before this fix.
     src = F.col(source)
-    positions: list[Column] = []
+    out = df
     lens: list[int] = []
-    p_prev: Column | None = None
+    # positions land in real columns _dp{i}: downstream projections
+    # that reference several parsed fields then inline only tiny
+    # substring(src, _dp_i + c, _dp_j - _dp_i - c) expressions instead
+    # of re-expanding the whole locate chain per field (was a 170 KB
+    # plan for any query touching 2+ fields)
     for i, (lead, _slot, _cls) in enumerate(plan[:-1]):
         if i == 0:
             p = F.locate(lead, src)
         else:
             # F.locate only takes an int start; the SQL function form
             # accepts a column expression
-            p = F.call_function("locate", F.lit(lead), src, p_prev + lens[-1])
-        positions.append(p)
+            p = F.call_function(
+                "locate", F.lit(lead), src, F.col(f"_dp{i - 1}") + lens[-1]
+            )
+        out = out.withColumn(f"_dp{i}", p)
         lens.append(len(lead))
-        p_prev = p
 
     vals: list[Column] = []
     ok = src.isNotNull()
     for i, (lead, _slot, cls) in enumerate(plan[:-1]):
-        start = positions[i] + lens[i]
+        start = F.col(f"_dp{i}") + lens[i]
         if i + 1 < len(plan) - 1:
-            end = positions[i + 1]  # located from `start`, so ≥ start or 0
+            end = F.col(f"_dp{i + 1}")  # located from `start`, so ≥ start or 0
             val = F.substring(src, start, end - start)
         else:
             nxt = plan[-1][0]
@@ -308,16 +313,16 @@ def parse_dissect(
             # trailing capture: \S+/\w+ stops at the next whitespace
             val = F.substring_index(tail, nxt or " ", 1)
         vals.append(val)
-        ok = ok & (positions[i] > 0) & _CLASS_CHECKS[cls](val)
+        ok = ok & (F.col(f"_dp{i}") > 0) & _CLASS_CHECKS[cls](val)
 
-    out = df.withColumn("_dok", ok)
+    out = out.withColumn("_dok", ok)
     for fname, val in zip(fields, vals):
         col = F.when(F.col("_dok"), val)
         if fname in types:
             col = col.cast(types[fname])
         out = out.withColumn(fname, col)
     out = _apply_failure_contract(out, source, F.col("_dok"), opts)
-    return out.drop("_dok")
+    return out.drop("_dok", *[f"_dp{i}" for i in range(len(plan) - 1)])
 
 
 # ---------------------------------------------------------------------------

@@ -48,14 +48,65 @@ HOT_CONV_ID = "conv-hot00000"
 
 
 def derive_transcripts(
-    spark: SparkSession, sf_dir: str, replicate: int = 1
+    spark: SparkSession, sf_dir: str, replicate: int = 1, materialize: bool = True
 ) -> DataFrame:
-    """Transcripts as a Spark plan over events.parquet.
+    """The transcripts input table, derived deterministically from
+    events.parquet.
 
     replicate>1 multiplies the table deterministically (bench scaling):
     each event row becomes `replicate` turns with distinct synthetic
     event ids ``e*replicate + r`` — still fully deterministic.
+
+    materialize=True (default) writes the derivation to a cached
+    parquet table once per (sf, replicate) and returns a SCAN of it —
+    matching the north star's input shape (an Iceberg/parquet table of
+    transcripts, BASELINE.json input_hint) and keeping `text` a plain
+    scan column. With the pure in-plan derivation, every downstream
+    filter that Catalyst pushes below the parse re-substitutes the
+    text-synthesis CASE expression per reference (observed: a 165 KB
+    filter predicate and a 12× slowdown on multi-field queries).
+    Values are identical either way; materialize=False keeps the lazy
+    plan for plan-shape tests.
     """
+    if materialize:
+        path = _materialized_path(spark, sf_dir, replicate)
+        if path is not None:
+            return spark.read.parquet(path)
+    return _transcripts_plan(spark, sf_dir, replicate)
+
+
+def _materialized_path(
+    spark: SparkSession, sf_dir: str, replicate: int
+) -> str | None:
+    """Write-once parquet cache of the derived table; atomic via
+    rename. Returns None if the cache dir isn't writable."""
+    import os
+    import shutil
+    import uuid
+
+    root = os.environ.get("ILOGTAIL_SPARK_CACHE", "/tmp/ilogtail_spark_cache")
+    key = f"transcripts_{os.path.basename(os.path.normpath(sf_dir))}_r{replicate}"
+    path = os.path.join(root, key)
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    try:
+        _transcripts_plan(spark, sf_dir, replicate).write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # lost a concurrent race — someone else materialized it
+            shutil.rmtree(tmp, ignore_errors=True)
+        return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return None
+
+
+def _transcripts_plan(
+    spark: SparkSession, sf_dir: str, replicate: int = 1
+) -> DataFrame:
+    """The pure derivation plan (no materialization)."""
     from ilogtail_spark.common import spread
 
     # one small parquet file arrives as one split; spread the narrow

@@ -57,11 +57,16 @@ def main(argv: list[str] | None = None) -> None:
         df = spark.read.parquet(args.input)
 
     metrics = StageMetrics()
+    bucket_seq = iter(range(1_000_000))
 
     def pipe(d):
-        d = metrics.observe_stage(d, "input")
+        # unique per-invocation stage names: in --resume mode pipe()
+        # runs once per bucket and each Observation must be distinct
+        # or only the last bucket's counters survive
+        tag = f"b{next(bucket_seq)}" if args.resume else "all"
+        d = metrics.observe_stage(d, f"input[{tag}]")
         d = parse_stage(d, engine=args.engine)
-        d = metrics.observe_stage(d, "parse")
+        d = metrics.observe_stage(d, f"parse[{tag}]")
         d = enrich_stage(d, spark)
         return route_stage(d)
 
