@@ -524,6 +524,111 @@ def _q_metric_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_geoip_range(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_geoip (processor_geoip.go:35-53): IP → location via
+    a broadcast range join on a MaxMind-style range table."""
+    from ilogtail_spark.operators.transform import geoip_enrich
+
+    df = derive_transcripts(spark, sf).withColumn(
+        "client_ip",
+        F.concat(F.lit("10."), (F.col("turn_idx") % 200).cast("string"), F.lit(".7.9")),
+    )
+    base = 10 * 16777216
+    ranges = spark.createDataFrame(
+        [
+            (base + (k << 16), base + (k << 16) + 65535, f"C{k // 50}")
+            for k in range(200)
+        ],
+        ["ip_start", "ip_end", "country"],
+    )
+    out = geoip_enrich(df, ranges, "client_ip")
+    return out.groupBy("geo_country").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_time_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_timestamp_filter_native
+    (ProcessorTimestampFilterNative.cpp:151-173): drop events outside
+    a time window — the batch analogue of watermark late-data drop."""
+    from ilogtail_spark.operators.filters import filter_timestamp
+
+    df = derive_transcripts(spark, sf)
+    out = filter_timestamp(df, begin="2024-01-08 00:00:00", end="2024-01-24 00:00:00")
+    return out.groupBy("role").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def _q_apsara_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_parse_apsara_native (ProcessorParseApsaraNative.cpp:
+    86-116): [time]\\t[LEVEL]\\t[tid]\\t[file:line]\\tk:v... format."""
+    from ilogtail_spark.operators.parse import parse_apsara
+
+    df = derive_transcripts(spark, sf).withColumn(
+        "apsara_raw",
+        F.concat(
+            F.lit("["), F.unix_timestamp("ts").cast("string"), F.lit("]\t[INFO]\t["),
+            F.col("turn_idx").cast("string"), F.lit("]\t[pipe.cpp:42]\trole:"),
+            F.col("role"), F.lit("\tconv:"), F.col("conv_id"),
+        ),
+    )
+    out = parse_apsara(df, source="apsara_raw")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "apsara_time",
+        "level",
+        F.col("tid").cast("int").alias("tid"),
+        "location",
+        F.element_at("attrs", "role").alias("role_attr"),
+        F.element_at("attrs", "conv").alias("conv_attr"),
+    )
+
+
+def _q_split_explode(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_split_string_native (ProcessorSplitLogStringNative.cpp:
+    74-101): merge turns into multiline blocks (q31) then split back —
+    the round trip reproduces the original (conv_id, text) multiset."""
+    from ilogtail_spark.operators.split import split_regex, split_string
+
+    df = derive_transcripts(spark, sf)
+    merged = split_regex(
+        df, source="text", start_pattern=r"^invoke tool=",
+        order_col="turn_idx", group_cols=["conv_id"],
+    )
+    lines = split_string(merged, source="text", sep="\n")
+    return lines.select("conv_id", F.col("text").alias("line"))
+
+
+def _q_config_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """Config-driven assembly through the registry — the reference's
+    YAML plugin-array-is-the-plan model (CollectionConfig.h:35-41):
+    dissect parse → inline dictmap enrich → full-match include filter
+    → md5 lineage column, all by plugin name."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+    from ilogtail_spark.sources.transcripts import GROK_FIELDS, GROK_PATTERN
+
+    chain = build_pipeline([
+        {
+            "type": "processor_parse_dissect",
+            "Regex": GROK_PATTERN,
+            "Keys": GROK_FIELDS,
+            "SourceKey": "text",
+            "types": {"status": "int", "latency_ms": "int"},
+            "KeepSource": True,
+        },
+        {
+            "type": "processor_dict_map",
+            "MapDict": {"bash": "shell", "read": "fs", "write": "fs"},
+            "SourceKey": "tool_call",
+            "DestKey": "tool_class",
+        },
+        {"type": "processor_filter_regex", "Include": {"err": r"E\d+"}},
+        {"type": "processor_md5", "SourceKey": "conv_id", "DestKey": "conv_md5"},
+    ])
+    out = chain(derive_transcripts(spark, sf))
+    return out.select(
+        "conv_id", "turn_idx", "tool_call", "tool_class", "status", "err", "conv_md5"
+    )
+
+
 def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """processor_encrypt (processor_encrypt.go:57-69): AES-CBC encrypt
     then decrypt — the roundtrip output equals the original text, so
@@ -572,6 +677,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_gotime": _q_gotime,
         "q34_metric_pivot": _q_metric_pivot,
         "q35_encrypt_roundtrip": _q_encrypt_roundtrip,
+        "q36_geoip_range": _q_geoip_range,
+        "q37_time_filter": _q_time_filter,
+        "q38_apsara_parse": _q_apsara_parse,
+        "q39_split_roundtrip": _q_split_explode,
+        "q40_config_pipeline": _q_config_pipeline,
     }
 
 
@@ -831,4 +941,40 @@ def oracle_sql() -> dict[str, str]:
         "q35_encrypt_roundtrip": TRANSCRIPTS_CTE
         + """
            SELECT conv_id, turn_idx, text FROM transcripts""",
+        # geoip oracle: the synthetic range table maps 10.k.0.0/16 ->
+        # 'C'||(k//50), so country is derivable from turn_idx directly
+        "q36_geoip_range": TRANSCRIPTS_CTE
+        + """
+           SELECT 'C' || CAST((turn_idx % 200) // 50 AS VARCHAR) AS geo_country,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM transcripts GROUP BY 1""",
+        "q37_time_filter": TRANSCRIPTS_CTE
+        + """
+           SELECT role, CAST(count(*) AS BIGINT) AS n_rows
+           FROM transcripts
+           WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+             AND ts <= TIMESTAMP '2024-01-24 00:00:00'
+           GROUP BY role""",
+        "q38_apsara_parse": TRANSCRIPTS_CTE
+        + """
+           SELECT conv_id, turn_idx,
+                  CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR AS apsara_time,
+                  'INFO' AS level,
+                  CAST(turn_idx AS INTEGER) AS tid,
+                  'pipe.cpp:42' AS location,
+                  role AS role_attr,
+                  conv_id AS conv_attr
+           FROM transcripts""",
+        "q39_split_roundtrip": TRANSCRIPTS_CTE
+        + """
+           SELECT conv_id, text AS line FROM transcripts""",
+        "q40_config_pipeline": PARSED_CTE
+        + """
+           SELECT conv_id, turn_idx, tool_call,
+                  CASE tool_call WHEN 'bash' THEN 'shell'
+                       WHEN 'read' THEN 'fs' WHEN 'write' THEN 'fs'
+                       ELSE 'Unknown' END AS tool_class,
+                  status, err, md5(conv_id) AS conv_md5
+           FROM parsed
+           WHERE parse_ok AND regexp_matches(err, '^(?:E[0-9]+)$')""",
     }

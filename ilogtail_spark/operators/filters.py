@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-from ilogtail_spark.operators.registry import register
+from ilogtail_spark.operators.registry import cfg_pop, register
 
 
 def filter_regex(
@@ -183,21 +183,21 @@ def rate_limit(
 
 @register("processor_filter_regex")
 def _filter_regex_factory(**cfg):
-    inc = cfg.pop("Include", cfg.pop("include", None))
-    exc = cfg.pop("Exclude", cfg.pop("exclude", None))
+    inc = cfg_pop(cfg, "Include", "include", default=None)
+    exc = cfg_pop(cfg, "Exclude", "exclude", default=None)
     return lambda df: filter_regex(df, include=inc, exclude=exc)
 
 
 @register("processor_filter_regex_native")
 def _filter_tree_factory(**cfg):
-    expr = cfg.pop("ConditionExp", cfg.pop("expr"))
+    expr = cfg_pop(cfg, "ConditionExp", "expr")
     return lambda df: filter_expression(df, expr)
 
 
 @register("processor_filter_key_regex")
 def _filter_key_factory(**cfg):
-    inc = cfg.pop("IncludeKeys", cfg.pop("include_keys", None))
-    exc = cfg.pop("ExcludeKeys", cfg.pop("exclude_keys", None))
+    inc = cfg_pop(cfg, "IncludeKeys", "include_keys", default=None)
+    exc = cfg_pop(cfg, "ExcludeKeys", "exclude_keys", default=None)
     return lambda df: filter_key_regex(df, include_keys=inc, exclude_keys=exc)
 
 
@@ -213,13 +213,13 @@ def _filter_ts_factory(**cfg):
 
 @register("processor_fields_with_condition")
 def _fwc_factory(**cfg):
-    cases = cfg.pop("Switch", cfg.pop("cases"))
-    drop = cfg.pop("DropIfNotMatchCondition", cfg.pop("drop_if_not_match", False))
+    cases = cfg_pop(cfg, "Switch", "cases")
+    drop = cfg_pop(cfg, "DropIfNotMatchCondition", "drop_if_not_match", default=False)
     return lambda df: fields_with_condition(df, cases, drop_if_not_match=drop)
 
 
 @register("processor_rate_limit")
 def _rl_factory(**cfg):
-    keys = cfg.pop("Fields", cfg.pop("keys"))
-    limit = cfg.pop("Limit", cfg.pop("limit_per_key"))
+    keys = cfg_pop(cfg, "Fields", "keys")
+    limit = cfg_pop(cfg, "Limit", "limit_per_key")
     return lambda df: rate_limit(df, keys, int(limit))

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ilogtail_spark.operators.registry import register
+from ilogtail_spark.operators.registry import cfg_pop, register
 
 RAW_LOG_KEY = "__raw_log__"
 PARSE_OK_KEY = "__parse_ok__"
@@ -576,11 +576,11 @@ def parse_apsara(
 
 def _opts_from_config(cfg: dict) -> ParserOptions:
     return ParserOptions(
-        keep_source=cfg.pop("KeepSource", cfg.pop("keep_source", False)),
+        keep_source=cfg_pop(cfg, "KeepSource", "keep_source", default=False),
         keep_source_if_fail=cfg.pop(
             "KeepSourceIfParseError", cfg.pop("keep_source_if_fail", True)
         ),
-        discard_unmatch=cfg.pop("DiscardUnmatch", cfg.pop("discard_unmatch", False)),
+        discard_unmatch=cfg_pop(cfg, "DiscardUnmatch", "discard_unmatch", default=False),
     )
 
 
@@ -588,11 +588,11 @@ def _opts_from_config(cfg: dict) -> ParserOptions:
 @register("processor_regex")
 def _regex_factory(**cfg):
     opts = _opts_from_config(cfg)
-    pattern = cfg.pop("Regex", cfg.pop("pattern"))
-    fields = cfg.pop("Keys", cfg.pop("fields"))
-    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    pattern = cfg_pop(cfg, "Regex", "pattern")
+    fields = cfg_pop(cfg, "Keys", "fields")
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
     types = cfg.pop("types", None)
-    full = cfg.pop("FullMatch", cfg.pop("full_match", False))
+    full = cfg_pop(cfg, "FullMatch", "full_match", default=False)
     return lambda df: parse_regex(
         df, pattern, fields, source=source, types=types, options=opts, full_match=full
     )
@@ -602,7 +602,7 @@ def _regex_factory(**cfg):
 @register("processor_json")
 def _json_factory(**cfg):
     opts = _opts_from_config(cfg)
-    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
     expand = cfg.pop("expand", None)
     return lambda df: parse_json(df, source=source, expand=expand, options=opts)
 
@@ -611,10 +611,10 @@ def _json_factory(**cfg):
 @register("processor_csv")
 def _csv_factory(**cfg):
     opts = _opts_from_config(cfg)
-    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
-    fields = cfg.pop("Keys", cfg.pop("fields"))
-    sep = cfg.pop("Separator", cfg.pop("sep", ","))
-    quote = cfg.pop("Quote", cfg.pop("quote", None))
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    fields = cfg_pop(cfg, "Keys", "fields")
+    sep = cfg_pop(cfg, "Separator", "sep", default=",")
+    quote = cfg_pop(cfg, "Quote", "quote", default=None)
     return lambda df: parse_delimiter(
         df, fields, source=source, sep=sep, quote=quote, options=opts
     )
@@ -623,9 +623,9 @@ def _csv_factory(**cfg):
 @register("processor_split_key_value")
 def _kv_factory(**cfg):
     opts = _opts_from_config(cfg)
-    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
-    pair_sep = cfg.pop("Delimiter", cfg.pop("pair_sep", "&"))
-    kv_sep = cfg.pop("Separator", cfg.pop("kv_sep", "="))
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    pair_sep = cfg_pop(cfg, "Delimiter", "pair_sep", default="&")
+    kv_sep = cfg_pop(cfg, "Separator", "kv_sep", default="=")
     return lambda df: parse_kv(
         df, source=source, pair_sep=pair_sep, kv_sep=kv_sep, options=opts
     )
@@ -634,16 +634,16 @@ def _kv_factory(**cfg):
 @register("processor_parse_timestamp_native")
 @register("processor_strptime")
 def _ts_factory(**cfg):
-    source = cfg.pop("SourceKey", cfg.pop("source"))
-    fmt = cfg.pop("SourceFormat", cfg.pop("fmt"))
-    tz = cfg.pop("SourceTimezone", cfg.pop("source_tz", None))
+    source = cfg_pop(cfg, "SourceKey", "source")
+    fmt = cfg_pop(cfg, "SourceFormat", "fmt")
+    tz = cfg_pop(cfg, "SourceTimezone", "source_tz", default=None)
     return lambda df: parse_timestamp(df, source, fmt, source_tz=tz)
 
 
 @register("processor_parse_apsara_native")
 def _apsara_factory(**cfg):
     opts = _opts_from_config(cfg)
-    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
     return lambda df: parse_apsara(df, source=source, options=opts)
 
 

@@ -25,3 +25,19 @@ def register(name: str) -> Callable[[Factory], Factory]:
         return fn
 
     return deco
+
+
+_MISSING = object()
+
+
+def cfg_pop(cfg: dict, *names, default=_MISSING):
+    """Pop the first present key among ``names`` (reference PascalCase
+    and snake_case aliases). ``cfg.pop("A", cfg.pop("a"))`` is a trap:
+    the inner pop evaluates eagerly and raises when only "A" exists.
+    """
+    for n in names:
+        if n in cfg:
+            return cfg.pop(n)
+    if default is _MISSING:
+        raise KeyError(f"config needs one of {names}")
+    return default

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ilogtail_spark.operators.registry import register
+from ilogtail_spark.operators.registry import cfg_pop, register
 
 
 def split_string(
@@ -79,8 +79,8 @@ def split_regex(
 @register("processor_split_char")
 @register("processor_split_string")
 def _split_factory(**cfg):
-    source = cfg.pop("SourceKey", cfg.pop("source", "text"))
-    sep = cfg.pop("SplitSep", cfg.pop("sep", "\n"))
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    sep = cfg_pop(cfg, "SplitSep", "sep", default="\n")
     return lambda df: split_string(df, source=source, sep=sep)
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ilogtail_spark.operators.registry import register
+from ilogtail_spark.operators.registry import cfg_pop, register
 
 
 def add_fields(
@@ -255,6 +255,39 @@ def decrypt_fields(
     return df
 
 
+def geoip_enrich(
+    df: DataFrame,
+    ranges: DataFrame,
+    source: str,
+    dest_prefix: str = "geo_",
+) -> DataFrame:
+    """processor_geoip (processor_geoip.go:35-53,168): map an IPv4
+    string to location attributes via a range table
+    ``(ip_start:long, ip_end:long, country, city)``.
+
+    Spark plan: broadcast RANGE join — the ranges table (MaxMind-style,
+    small) rides the broadcast and the non-equi condition
+    ``start <= ip(num) <= end`` becomes BroadcastNestedLoopJoin; at
+    100 TB the fact side streams through map tasks, no shuffle. For
+    very large range tables the scale path is a bucketed equi-join on
+    ``ip >> K`` prefix buckets instead.
+    """
+    octets = F.split(F.col(source), r"\.")
+    ipnum = (
+        F.element_at(octets, 1).cast("long") * 16777216
+        + F.element_at(octets, 2).cast("long") * 65536
+        + F.element_at(octets, 3).cast("long") * 256
+        + F.element_at(octets, 4).cast("long")
+    )
+    out = df.withColumn("_ipnum", ipnum)
+    cond = (F.col("_ipnum") >= ranges["ip_start"]) & (F.col("_ipnum") <= ranges["ip_end"])
+    joined = out.join(F.broadcast(ranges), on=cond, how="left")
+    for c in ranges.columns:
+        if c not in ("ip_start", "ip_end"):
+            joined = joined.withColumnRenamed(c, f"{dest_prefix}{c}")
+    return joined.drop("ip_start", "ip_end", "_ipnum")
+
+
 def log_to_metric(
     df: DataFrame,
     label_keys: list[str],
@@ -281,8 +314,8 @@ def log_to_metric(
 
 @register("processor_add_fields")
 def _add_factory(**cfg):
-    fields = cfg.pop("Fields", cfg.pop("fields"))
-    ign = cfg.pop("IgnoreIfExist", cfg.pop("ignore_if_exist", False))
+    fields = cfg_pop(cfg, "Fields", "fields")
+    ign = cfg_pop(cfg, "IgnoreIfExist", "ignore_if_exist", default=False)
     return lambda df: add_fields(df, fields, ignore_if_exist=ign)
 
 
@@ -296,14 +329,14 @@ def _rename_factory(**cfg):
 
 @register("processor_drop")
 def _drop_factory(**cfg):
-    keys = cfg.pop("DropKeys", cfg.pop("keys"))
+    keys = cfg_pop(cfg, "DropKeys", "keys")
     return lambda df: drop_fields(df, keys)
 
 
 @register("processor_pick_key")
 def _pick_factory(**cfg):
-    inc = cfg.pop("Include", cfg.pop("include", None))
-    exc = cfg.pop("Exclude", cfg.pop("exclude", None))
+    inc = cfg_pop(cfg, "Include", "include", default=None)
+    exc = cfg_pop(cfg, "Exclude", "exclude", default=None)
     return lambda df: pick_fields(df, include=inc, exclude=exc)
 
 
@@ -311,11 +344,11 @@ def _pick_factory(**cfg):
 def _replace_factory(**cfg):
     return lambda df: string_replace(
         df,
-        cfg.pop("SourceKey", cfg.pop("source", "text")),
-        cfg.pop("Regex", cfg.pop("pattern")),
-        cfg.pop("ReplaceString", cfg.pop("replacement", "")),
-        dest=cfg.pop("DestKey", cfg.pop("dest", None)),
-        method=cfg.pop("Method", cfg.pop("method", "regex")),
+        cfg_pop(cfg, "SourceKey", "source", default="text"),
+        cfg_pop(cfg, "Regex", "pattern"),
+        cfg_pop(cfg, "ReplaceString", "replacement", default=""),
+        dest=cfg_pop(cfg, "DestKey", "dest", default=None),
+        method=cfg_pop(cfg, "Method", "method", default="regex"),
     )
 
 
@@ -323,41 +356,41 @@ def _replace_factory(**cfg):
 def _desens_factory(**cfg):
     return lambda df: desensitize(
         df,
-        cfg.pop("SourceKey", cfg.pop("source", "text")),
-        method=cfg.pop("Method", cfg.pop("method", "const")),
-        replacement=cfg.pop("ReplaceString", cfg.pop("replacement", "********")),
-        regex_begin=cfg.pop("RegexBegin", cfg.pop("regex_begin", None)),
-        regex_content=cfg.pop("RegexContent", cfg.pop("regex_content", None)),
+        cfg_pop(cfg, "SourceKey", "source", default="text"),
+        method=cfg_pop(cfg, "Method", "method", default="const"),
+        replacement=cfg_pop(cfg, "ReplaceString", "replacement", default="********"),
+        regex_begin=cfg_pop(cfg, "RegexBegin", "regex_begin", default=None),
+        regex_content=cfg_pop(cfg, "RegexContent", "regex_content", default=None),
     )
 
 
 @register("processor_md5")
 def _md5_factory(**cfg):
     return lambda df: md5_field(
-        df, cfg.pop("SourceKey", cfg.pop("source")), cfg.pop("DestKey", cfg.pop("dest"))
+        df, cfg_pop(cfg, "SourceKey", "source"), cfg_pop(cfg, "DestKey", "dest")
     )
 
 
 @register("processor_base64_encoding")
 def _b64e_factory(**cfg):
-    return lambda df: base64_encode(df, cfg.pop("SourceKey", cfg.pop("source")))
+    return lambda df: base64_encode(df, cfg_pop(cfg, "SourceKey", "source"))
 
 
 @register("processor_base64_decoding")
 def _b64d_factory(**cfg):
-    return lambda df: base64_decode(df, cfg.pop("SourceKey", cfg.pop("source")))
+    return lambda df: base64_decode(df, cfg_pop(cfg, "SourceKey", "source"))
 
 
 @register("processor_packjson")
 def _pack_factory(**cfg):
     return lambda df: pack_json(
-        df, cfg.pop("SourceKeys", cfg.pop("keys")), cfg.pop("DestKey", cfg.pop("dest"))
+        df, cfg_pop(cfg, "SourceKeys", "keys"), cfg_pop(cfg, "DestKey", "dest")
     )
 
 
 @register("processor_appender")
 def _appender_factory(**cfg):
-    return lambda df: appender(df, cfg.pop("Fields", cfg.pop("fields")))
+    return lambda df: appender(df, cfg_pop(cfg, "Fields", "fields"))
 
 
 @register("processor_tag_native")
@@ -367,7 +400,7 @@ def _tag_factory(**cfg):
 
 @register("processor_drop_last_key")
 def _dlk_factory(**cfg):
-    return lambda df: drop_last_key(df, cfg.pop("DropKey", cfg.pop("raw_key")))
+    return lambda df: drop_last_key(df, cfg_pop(cfg, "DropKey", "raw_key"))
 
 
 @register("processor_anchor")
