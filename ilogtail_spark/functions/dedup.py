@@ -187,23 +187,26 @@ def ngram_jaccard_pairs(
     sh = spread(df).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col)).alias("_sh")
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    inv = sh.select("_id", F.explode("_sh").alias("_g")).select(
-        "_id", _md5_hash64(F.col("_g")).alias("_gh")
-    )
+    # carry |set| through the explode: the candidate groupBy then has
+    # both sizes in its key and NO post-join with a sizes table is
+    # needed (two fewer shuffles; sizes cost 8 bytes per inverted row)
+    inv = sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g")
+    ).select("_id", "_n", _md5_hash64(F.col("_g")).alias("_gh"))
     inter = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a._gh") == F.col("b._gh")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .groupBy(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
+        )
         .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    with_sizes = (
-        inter.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "_na"}), "id_a")
-        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "_nb"}), "id_b")
     )
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (
-        with_sizes.withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
     )

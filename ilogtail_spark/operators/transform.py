@@ -182,13 +182,18 @@ def anchor(
     """processor_anchor (anchor.go:33-62,228): substring strictly
     between the Start and Stop anchor strings → dest field; missing
     anchor → null (reference NoAnchorError path). expand_json expands
-    the extracted value as a flat string map."""
-    import re as _re
+    the extracted value as a flat string map.
 
-    pat = f"{_re.escape(start)}(.*?){_re.escape(stop)}"
-    col = F.regexp_extract(F.col(source), pat, 1)
-    # regexp_extract yields '' on no-match; reference drops the field
-    col = F.when(col != "", col)
+    Anchors are literals, so this is locate + substring (lazy-dot
+    regex semantics: shortest span from the first Start to the next
+    Stop) — plain codegen string ops, no java.util.regex."""
+    src = F.col(source)
+    p1 = F.locate(start, src)
+    after = F.substring(src, p1 + len(start), F.length(src))
+    p2 = F.locate(stop, after)
+    col = F.when(
+        (p1 > 0) & (p2 > 1), F.substring(after, F.lit(1), p2 - 1)
+    )
     out = df.withColumn(dest, col)
     if expand_json:
         out = out.withColumn(dest, F.from_json(F.col(dest), "map<string,string>"))

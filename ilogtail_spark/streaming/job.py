@@ -84,3 +84,41 @@ def windowed_stream_agg(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("bucket"), "tool", "n_events")
     )
+
+
+def stateful_rate_limit(
+    stream: DataFrame,
+    keys: list[str],
+    limit_per_key: int,
+):
+    """processor_rate_limit as a CUSTOM STATEFUL streaming operator
+    (processor_rate_limit.go:26-33, token_bucket.go:33-118):
+    per-key token bucket whose consumed count persists ACROSS
+    micro-batches via applyInPandasWithState — the streaming twin of
+    operators/filters.py::rate_limit (whose windowed row_number only
+    caps within one batch).
+
+    State = one long per key (tokens consumed). Arrow-batched pandas
+    slices, no per-row Python. At scale the state store shards by the
+    group key exactly like the reference's per-key bucket map.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = stream.schema
+    state_schema = "used long"
+
+    def fn(key, pdfs, state):
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            take = max(0, limit_per_key - used)
+            if take > 0:
+                out = pdf.iloc[:take]
+                used += len(out)
+                yield out
+            else:
+                used += 0
+        state.update((used,))
+
+    return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

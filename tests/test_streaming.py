@@ -64,3 +64,39 @@ def test_windowed_stream_agg(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stateful_rate_limit_across_microbatches(spark, sf_dir, tmp_path):
+    """The consumed-token state must persist across micro-batches:
+    with 6 input files at 2 per trigger (3 micro-batches), each role
+    keeps at most `limit` rows over the WHOLE stream."""
+    from ilogtail_spark.streaming.job import stateful_rate_limit
+
+    src_dir = str(tmp_path / "rl_src")
+    derive_transcripts(spark, sf_dir).repartition(6).write.parquet(src_dir)
+
+    limit = 40
+    stream = streaming_transcripts(spark, src_dir, max_files_per_trigger=2)
+    limited = stateful_rate_limit(stream, ["role"], limit_per_key=limit)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("rl_out")
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["role"]: r["n"]
+        for r in spark.sql("select role, count(*) n from rl_out group by role").collect()
+    }
+    totals = {
+        r["role"]: r["n"]
+        for r in derive_transcripts(spark, sf_dir)
+        .groupBy("role")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {role: min(limit, n) for role, n in totals.items()}
