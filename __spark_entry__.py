@@ -629,6 +629,26 @@ def _q_config_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_filter_tree(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_filter_regex_native expression-tree mode
+    (ProcessorFilterNative.h:28-121): nested NOT/AND/OR over field
+    regexes — Catalyst gets the whole boolean tree as one predicate."""
+    from ilogtail_spark.operators.filters import filter_expression
+
+    df = parse_stage(derive_transcripts(spark, sf)).filter(F.col(PARSE_OK_KEY))
+    out = filter_expression(
+        df,
+        {
+            "and": [
+                {"or": [{"key": "method", "regex": "GET"}, {"key": "method", "regex": "POST"}]},
+                {"not": {"key": "err", "regex": "-"}},
+                {"key": "url", "regex": "/api/v[12]/.*"},
+            ]
+        },
+    )
+    return out.groupBy("method", "err").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """processor_encrypt (processor_encrypt.go:57-69): AES-CBC encrypt
     then decrypt — the roundtrip output equals the original text, so
@@ -682,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_apsara_parse": _q_apsara_parse,
         "q39_split_roundtrip": _q_split_explode,
         "q40_config_pipeline": _q_config_pipeline,
+        "q41_filter_tree": _q_filter_tree,
     }
 
 
@@ -968,6 +989,15 @@ def oracle_sql() -> dict[str, str]:
         "q39_split_roundtrip": TRANSCRIPTS_CTE
         + """
            SELECT conv_id, text AS line FROM transcripts""",
+        "q41_filter_tree": PARSED_CTE
+        + """
+           SELECT method, err, CAST(count(*) AS BIGINT) AS n_rows
+           FROM parsed
+           WHERE parse_ok
+             AND (regexp_matches(method, 'GET') OR regexp_matches(method, 'POST'))
+             AND NOT regexp_matches(err, '-')
+             AND regexp_matches(url, '/api/v[12]/.*')
+           GROUP BY method, err""",
         "q40_config_pipeline": PARSED_CTE
         + """
            SELECT conv_id, turn_idx, tool_call,

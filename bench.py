@@ -152,7 +152,7 @@ def main() -> None:
     pipe_sec, n_turns = flagship_throughput(spark, sf_dir, replicate=1)
     timings["flagship_pipeline"] = round(pipe_sec, 4)
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    result = {
         "metric": "end-to-end parse→enrich→route→aggregate + operator suite wall time",
         "value": total,
         "unit": "sec",
@@ -161,7 +161,17 @@ def main() -> None:
         "cores": cores,
         "flagship_turns": n_turns,
         "throughput_turns_per_sec": round(n_turns / pipe_sec, 1),
-    }))
+    }
+    # sf0.1 bench also reports sustained throughput at 20M turns —
+    # the replicate=1 run is overhead-dominated at 100k rows
+    if abs(sf - 0.1) < 1e-9:
+        try:
+            big_sec, big_n = flagship_throughput(spark, sf_dir, replicate=200)
+            result["throughput_turns_per_sec_at_20M"] = round(big_n / big_sec, 1)
+            result["flagship_20M_sec"] = round(big_sec, 2)
+        except Exception:
+            pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
