@@ -649,6 +649,19 @@ def _q_filter_tree(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("method", "err").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def _q_dynamic_sink(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic sink addressing (flusher_kafka_v2.go:232-326,
+    pkg/fmtstr/format_topic.go:18): %{field} and %{+yyyyMMdd} expand
+    into the per-row sink name."""
+    from ilogtail_spark.operators.route import dynamic_sink_name
+
+    df = derive_transcripts(spark, sf)
+    out = dynamic_sink_name(df, "logs-%{role}-%{+yyyyMMdd}")
+    return out.groupBy(F.col("__sink__").alias("sink")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """processor_encrypt (processor_encrypt.go:57-69): AES-CBC encrypt
     then decrypt — the roundtrip output equals the original text, so
@@ -703,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_split_roundtrip": _q_split_explode,
         "q40_config_pipeline": _q_config_pipeline,
         "q41_filter_tree": _q_filter_tree,
+        "q42_dynamic_sink": _q_dynamic_sink,
     }
 
 
@@ -989,6 +1003,11 @@ def oracle_sql() -> dict[str, str]:
         "q39_split_roundtrip": TRANSCRIPTS_CTE
         + """
            SELECT conv_id, text AS line FROM transcripts""",
+        "q42_dynamic_sink": TRANSCRIPTS_CTE
+        + """
+           SELECT 'logs-' || role || '-' || strftime(ts, '%Y%m%d') AS sink,
+                  CAST(count(*) AS BIGINT) AS n_rows
+           FROM transcripts GROUP BY 1""",
         "q41_filter_tree": PARSED_CTE
         + """
            SELECT method, err, CAST(count(*) AS BIGINT) AS n_rows
