@@ -100,3 +100,57 @@ def test_stateful_rate_limit_across_microbatches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == {role: min(limit, n) for role, n in totals.items()}
+
+
+def test_late_data_policy_explicit_filter(spark, tmp_path):
+    """§2.10 late-data policy. Spark's watermark only *bounds state*
+    — an entirely-late window is already final and MAY still be
+    emitted (observed: it is). The reference's strict drop
+    (processor_timestamp_filter_native) therefore maps to an explicit
+    event-time filter ahead of the windowed agg; this pins both
+    behaviors so a Spark upgrade changing either gets noticed."""
+    import glob
+    import os
+    import time as _t
+
+    from ilogtail_spark.operators.filters import filter_timestamp
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts_s string"
+    )
+    fresh = spark.createDataFrame(
+        [("c1", 0, "user", "x", "bash", "2024-01-10 10:00:00"),
+         ("c1", 1, "user", "x", "bash", "2024-01-10 11:30:00")], schema,
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    late = spark.createDataFrame(
+        [("c2", 0, "user", "x", "bash", "2024-01-01 00:00:00")], schema,
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    fresh.coalesce(1).write.mode("append").parquet(src)
+    late.coalesce(1).write.mode("append").parquet(src)
+    parts = glob.glob(os.path.join(src, "part-*"))
+    now = _t.time()
+    fresh_part = max(parts, key=os.path.getsize)  # fresh file has 2 rows
+    for p in parts:
+        os.utime(p, (now - 120, now - 120) if p == fresh_part else (now, now))
+
+    stream = streaming_transcripts(spark, src, max_files_per_trigger=1)
+    filtered = filter_timestamp(stream, begin="2024-01-05 00:00:00")
+    # 0s delay: append mode only emits windows ENDING below the
+    # watermark; any positive delay would leave the 10:00 window
+    # unfinalized (wm = max event 11:30 - delay < window end 11:00)
+    agg = windowed_stream_agg(filtered, watermark="0 seconds", window="1 hour")
+    q = (
+        agg.writeStream.format("memory").queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "wm_ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    buckets = {str(r["bucket"]) for r in spark.sql("select bucket from wm_out").collect()}
+    assert not any(b.startswith("2024-01-01") for b in buckets), buckets
+    assert any(b.startswith("2024-01-10") for b in buckets), buckets
+    # watermark advanced past batch 0 (state-cleanup evidence)
+    wm = q.recentProgress[-1]["eventTime"].get("watermark", "")
+    assert wm.startswith("2024-01-10")
