@@ -662,6 +662,30 @@ def _q_dynamic_sink(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_container_log(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_parse_container_log_native
+    (ProcessorParseContainerLogNative.cpp:32): docker json-file line →
+    content/_source_/_time_ (roundtrip through to_json keeps the
+    oracle a plain projection)."""
+    from ilogtail_spark.operators.parse import parse_container_log
+
+    df = derive_transcripts(spark, sf).withColumn(
+        "raw",
+        F.to_json(
+            F.struct(
+                F.col("text").alias("log"),
+                F.lit("stdout").alias("stream"),
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("time"),
+            )
+        ),
+    )
+    out = parse_container_log(df, source="raw", fmt="docker")
+    return out.select(
+        "conv_id", "turn_idx", "content",
+        F.col("_source_").alias("source_"), F.col("_time_").alias("time_"),
+    )
+
+
 def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """processor_encrypt (processor_encrypt.go:57-69): AES-CBC encrypt
     then decrypt — the roundtrip output equals the original text, so
@@ -717,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_config_pipeline": _q_config_pipeline,
         "q41_filter_tree": _q_filter_tree,
         "q42_dynamic_sink": _q_dynamic_sink,
+        "q43_container_log": _q_container_log,
     }
 
 
@@ -1003,6 +1028,12 @@ def oracle_sql() -> dict[str, str]:
         "q39_split_roundtrip": TRANSCRIPTS_CTE
         + """
            SELECT conv_id, text AS line FROM transcripts""",
+        "q43_container_log": TRANSCRIPTS_CTE
+        + """
+           SELECT conv_id, turn_idx, text AS content,
+                  'stdout' AS source_,
+                  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS time_
+           FROM transcripts""",
         "q42_dynamic_sink": TRANSCRIPTS_CTE
         + """
            SELECT 'logs-' || role || '-' || strftime(ts, '%Y%m%d') AS sink,

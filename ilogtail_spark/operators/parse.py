@@ -660,3 +660,55 @@ def _dissect_factory(**cfg):
         types=cfg.get("types"),
         options=_opts_from_config(cfg),
     )
+
+
+def parse_container_log(
+    df: DataFrame,
+    source: str = "text",
+    fmt: str = "docker",  # docker (json-file) | cri (containerd)
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_parse_container_log_native
+    (core/plugin/processor/inner/ProcessorParseContainerLogNative.cpp:32):
+    docker json-file lines ``{"log":...,"stream":...,"time":...}`` or
+    containerd/CRI ``<time> <stream> <P|F> <log>``. Emits the
+    reference's content/_source_/_time_ fields."""
+    opts = options or ParserOptions()
+    if fmt == "docker":
+        parsed = F.from_json(
+            F.col(source), "struct<log:string, stream:string, time:string>"
+        )
+        ok = parsed.isNotNull() & parsed["log"].isNotNull()
+        out = (
+            df.withColumn("_cl", parsed)
+            .withColumn("content", F.when(ok, F.col("_cl.log")))
+            .withColumn("_source_", F.when(ok, F.col("_cl.stream")))
+            .withColumn("_time_", F.when(ok, F.col("_cl.time")))
+            .drop("_cl")
+        )
+    elif fmt == "cri":
+        parts = F.split(F.col(source), " ", 4)
+        ok = (
+            F.col(source).isNotNull()
+            & (F.size(parts) == 4)
+            & F.element_at(parts, 3).isin("P", "F")
+        )
+        out = (
+            df.withColumn("_time_", F.when(ok, F.element_at(parts, 1)))
+            .withColumn("_source_", F.when(ok, F.element_at(parts, 2)))
+            .withColumn("_partial", F.when(ok, F.element_at(parts, 3) == "P"))
+            .withColumn("content", F.when(ok, F.element_at(parts, 4)))
+        )
+    else:
+        raise ValueError(fmt)
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+@register("processor_parse_container_log_native")
+def _container_factory(**cfg):
+    return lambda df: parse_container_log(
+        df,
+        source=cfg_pop(cfg, "SourceKey", "source", default="text"),
+        fmt=cfg_pop(cfg, "Format", "fmt", default="docker"),
+        options=_opts_from_config(cfg),
+    )

@@ -146,3 +146,28 @@ def test_grok_parse_df(spark):
     )
     assert out[0]["client"] == "10.0.0.0" and out[0]["bytes"] == 15824
     assert out[1][PARSE_OK_KEY] is False
+
+
+def test_container_log_docker_and_cri(spark):
+    from ilogtail_spark.operators.parse import PARSE_OK_KEY, parse_container_log
+
+    docker = spark.createDataFrame(
+        [("a", '{"log":"hello\\n","stream":"stderr","time":"2024-01-01T00:00:00Z"}'),
+         ("b", "not json")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in parse_container_log(docker, fmt="docker").collect()}
+    assert out["a"]["content"] == "hello\n" and out["a"]["_source_"] == "stderr"
+    assert out["a"][PARSE_OK_KEY] and not out["b"][PARSE_OK_KEY]
+    assert out["b"]["__raw_log__"] == "not json"
+
+    cri = spark.createDataFrame(
+        [("a", "2024-01-01T00:00:00.000Z stdout F hello world"),
+         ("b", "2024-01-01T00:00:00.000Z stdout P partial line"),
+         ("c", "garbage")],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in parse_container_log(cri, fmt="cri").collect()}
+    assert out["a"]["content"] == "hello world" and not out["a"]["_partial"]
+    assert out["b"]["_partial"] is True
+    assert not out["c"][PARSE_OK_KEY]
