@@ -187,6 +187,17 @@ _CLASS_CHECKS = {
 
 _TOKEN_CLASS = {r"\w+": "word", r"\d+": "digits", r"\S+": "nospace", r'[^"\s]+': "nospace"}
 
+# char-membership test per raw capture token — used at compile time to
+# reject patterns where an anchor's first char could be consumed by the
+# preceding capture (first-occurrence carving would then diverge from
+# regex backtracking semantics)
+_TOKEN_MEMBER = {
+    r"\w+": lambda ch: ch in _WORD_CHARS,
+    r"\d+": lambda ch: ch in "0123456789",
+    r"\S+": lambda ch: not ch.isspace(),
+    r'[^"\s]+': lambda ch: ch != '"' and not ch.isspace(),
+}
+
 
 def compile_dissect(pattern: str) -> list[tuple[str, str | None, str]] | None:
     """Compile a regex into a dissect plan when possible.
@@ -204,6 +215,7 @@ def compile_dissect(pattern: str) -> list[tuple[str, str | None, str]] | None:
 
     cap = _re.compile(r"\((\\w\+|\\d\+|\\S\+|\[\^\"\\s\]\+)\)")
     tokens: list[tuple[str, str | None, str]] = []
+    raws: list[str] = []
     lit = ""
     i = 0
     group = 0
@@ -216,6 +228,7 @@ def compile_dissect(pattern: str) -> list[tuple[str, str | None, str]] | None:
             if cls is None:
                 return None
             tokens.append((lit, f"g{group}", cls))
+            raws.append(m.group(1))
             group += 1
             lit = ""
             i = m.end()
@@ -235,6 +248,13 @@ def compile_dissect(pattern: str) -> list[tuple[str, str | None, str]] | None:
     if not tokens:
         return None
     tokens.append((lit, None, ""))
+    # regex-equivalence guard: if the anchor following a capture starts
+    # with a char the capture's class could consume, greedy regex and
+    # first-occurrence carving disagree — bail to the regex engine
+    for idx, raw in enumerate(raws):
+        follow = tokens[idx + 1][0]
+        if follow and _TOKEN_MEMBER[raw](follow[0]):
+            return None
     return tokens
 
 
@@ -307,11 +327,19 @@ def parse_dissect(
         if i + 1 < len(plan) - 1:
             end = F.col(f"_dp{i + 1}")  # located from `start`, so ≥ start or 0
             val = F.substring(src, start, end - start)
-        else:
+        elif plan[-1][0]:
+            # trailing literal must EXIST after the capture, else the
+            # parse fails (regex would fail too) — substring_index's
+            # return-whole-tail-when-absent behavior was a silent
+            # false-positive here
             nxt = plan[-1][0]
+            tpos = F.call_function("locate", F.lit(nxt), src, start)
+            val = F.substring(src, start, tpos - start)
+            ok = ok & (tpos > 0)
+        else:
             tail = F.substring(src, start, F.length(src))
-            # trailing capture: \S+/\w+ stops at the next whitespace
-            val = F.substring_index(tail, nxt or " ", 1)
+            # trailing capture with no anchor: stops at next whitespace
+            val = F.substring_index(tail, " ", 1)
         vals.append(val)
         ok = ok & (F.col(f"_dp{i}") > 0) & _CLASS_CHECKS[cls](val)
 
@@ -651,14 +679,15 @@ def _apsara_factory(**cfg):
 def _dissect_factory(**cfg):
     """Structural single-pass variant of the regex parser for
     anchor-separated patterns (falls back to regex when the pattern
-    doesn't compile to a dissect plan)."""
+    doesn't compile to a dissect plan). Config resolves eagerly so the
+    built transform is reusable across DataFrames."""
+    opts = _opts_from_config(cfg)
+    pattern = cfg_pop(cfg, "Regex", "pattern")
+    fields = cfg_pop(cfg, "Keys", "fields")
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    types = cfg.pop("types", None)
     return lambda df: parse_dissect(
-        df,
-        cfg.get("Regex", cfg.get("pattern")),
-        cfg.get("Keys", cfg.get("fields")),
-        source=cfg.get("SourceKey", cfg.get("source", "text")),
-        types=cfg.get("types"),
-        options=_opts_from_config(cfg),
+        df, pattern, fields, source=source, types=types, options=opts
     )
 
 
@@ -706,9 +735,7 @@ def parse_container_log(
 
 @register("processor_parse_container_log_native")
 def _container_factory(**cfg):
-    return lambda df: parse_container_log(
-        df,
-        source=cfg_pop(cfg, "SourceKey", "source", default="text"),
-        fmt=cfg_pop(cfg, "Format", "fmt", default="docker"),
-        options=_opts_from_config(cfg),
-    )
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    fmt = cfg_pop(cfg, "Format", "fmt", default="docker")
+    opts = _opts_from_config(cfg)
+    return lambda df: parse_container_log(df, source=source, fmt=fmt, options=opts)

@@ -15,6 +15,14 @@ from pyspark.sql import functions as F
 from ilogtail_spark.operators.registry import cfg_pop, register
 
 
+def _rx_literal(sep: str) -> str:
+    """Quote a literal separator for Java regex (F.split treats its
+    separator as a regex; the reference splitters take literals —
+    split_char.go:34, ProcessorSplitLogStringNative.cpp:74)."""
+    # \Q...\E quoting, split around any embedded \E terminators
+    return r"\Q" + sep.replace(r"\E", r"\E\\E\Q") + r"\E"
+
+
 def split_string(
     df: DataFrame,
     source: str = "text",
@@ -24,8 +32,11 @@ def split_string(
 ) -> DataFrame:
     """processor_split_string_native
     (ProcessorSplitLogStringNative.cpp:74-101) / Go splitters: one
-    event per separator-delimited segment."""
-    out = df.withColumn(dest or source, F.explode(F.split(F.col(source), sep, -1)))
+    event per separator-delimited segment. ``sep`` is a LITERAL
+    (regex-quoted before hitting F.split)."""
+    out = df.withColumn(
+        dest or source, F.explode(F.split(F.col(source), _rx_literal(sep), -1))
+    )
     if not keep_source and dest and dest != source:
         out = out.drop(source)
     return out

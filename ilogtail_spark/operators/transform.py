@@ -30,7 +30,12 @@ def add_fields(
 def rename_fields(
     df: DataFrame, mapping: dict[str, str], no_key_error: bool = False
 ) -> DataFrame:
-    """processor_rename (processor_rename.go:26-34,150)."""
+    """processor_rename (processor_rename.go:26-34,150).
+
+    ``no_key_error`` mirrors the reference's NoKeyError flag: True =
+    surface missing source keys as an error (the Go plugin logs
+    RENAME_FIND_ALARM; batch analogue raises at plan time), False
+    (default) = silently skip missing keys."""
     missing = [k for k in mapping if k not in df.columns]
     if missing and no_key_error:
         raise KeyError(f"rename: missing keys {missing}")
@@ -329,7 +334,8 @@ def _rename_factory(**cfg):
     mapping = cfg.pop("mapping", None)
     if mapping is None:
         mapping = dict(zip(cfg.pop("SourceKeys"), cfg.pop("DestKeys")))
-    return lambda df: rename_fields(df, mapping)
+    no_key_error = cfg_pop(cfg, "NoKeyError", "no_key_error", default=False)
+    return lambda df: rename_fields(df, mapping, no_key_error=no_key_error)
 
 
 @register("processor_drop")

@@ -80,12 +80,32 @@ def _materialized_path(
 ) -> str | None:
     """Write-once parquet cache of the derived table; atomic via
     rename. Returns None if the cache dir isn't writable."""
+    import hashlib
     import os
     import shutil
     import uuid
 
     root = os.environ.get("ILOGTAIL_SPARK_CACHE", "/tmp/ilogtail_spark_cache")
-    key = f"transcripts_{os.path.basename(os.path.normpath(sf_dir))}_r{replicate}"
+    # fingerprint the input: abs path + (mtime, size) of every events
+    # parquet part, so a regenerated dataset or a same-basename dir
+    # elsewhere never serves a stale cache
+    ev_dir = os.path.join(os.path.abspath(sf_dir), "events.parquet")
+    sig_parts = [ev_dir]
+    try:
+        entries = (
+            sorted(os.listdir(ev_dir)) if os.path.isdir(ev_dir) else [ev_dir]
+        )
+        for name in entries:
+            p = name if name == ev_dir else os.path.join(ev_dir, name)
+            st = os.stat(p)
+            sig_parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    except OSError:
+        pass
+    fp = hashlib.md5("|".join(sig_parts).encode()).hexdigest()[:12]
+    key = (
+        f"transcripts_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_r{replicate}_{fp}"
+    )
     path = os.path.join(root, key)
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path

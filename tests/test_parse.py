@@ -116,6 +116,35 @@ def test_parse_timestamp_tz(spark):
     assert out["ts"].isoformat() == "2024-03-01T02:20:30"  # UTC+8 shifted
 
 
+def test_dissect_trailing_literal_required(spark):
+    """Pattern ending in a literal: the literal must exist after the
+    capture or the parse fails (matches regex; was a silent false
+    positive via substring_index's whole-tail fallback)."""
+    from ilogtail_spark.operators.parse import compile_dissect, parse_dissect
+
+    pat = r"user=(\w+) x"
+    assert compile_dissect(pat) is not None
+    df = _df(spark, ["user=alice x", "user=bob", "user=carol y"])
+    out = parse_dissect(df, pat, ["u"]).orderBy("id").collect()
+    ref = parse_regex(df, pat, ["u"]).orderBy("id").collect()
+    for o, r in zip(out, ref):
+        assert o[PARSE_OK_KEY] == r[PARSE_OK_KEY]
+        assert o["u"] == r["u"]
+    assert out[0]["u"] == "alice" and not out[1][PARSE_OK_KEY]
+
+
+def test_dissect_rejects_anchor_in_capture_class(spark):
+    """Anchors whose first char the preceding capture could consume
+    make first-occurrence carving diverge from regex — compile_dissect
+    must bail to the regex engine."""
+    from ilogtail_spark.operators.parse import compile_dissect
+
+    assert compile_dissect(r"a=(\w+)_b") is None  # '_' ∈ \w
+    assert compile_dissect(r"n=(\d+)7x") is None  # '7' ∈ \d
+    assert compile_dissect(r"v=(\S+)!end") is None  # '!' ∈ \S
+    assert compile_dissect(r"v=(\S+) end") is not None  # ' ' ∉ \S
+
+
 # --- grok ---------------------------------------------------------------
 
 def test_grok_compile():

@@ -7,6 +7,15 @@ def test_split_string_explode(spark):
     assert [r["text"] for r in out.collect()] == ["a", "b", "c"]
 
 
+def test_split_string_literal_metachar_sep(spark):
+    # '|' and '.' must split as literals, not regexes (split_char.go:34)
+    df = spark.createDataFrame([(1, "a|b|c"), (2, "x.y")], "id int, text string")
+    out = split_string(df, "text", sep="|").filter("id = 1")
+    assert [r["text"] for r in out.collect()] == ["a", "b", "c"]
+    out2 = split_string(df, "text", sep=".").filter("id = 2")
+    assert [r["text"] for r in out2.collect()] == ["x", "y"]
+
+
 def test_split_regex_multiline_merge(spark):
     # multiline java-stacktrace style regroup
     # (ProcessorSplitMultilineLogStringNative.cpp:95-127)
