@@ -460,11 +460,12 @@ def _q_fields_with_condition(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_multiline_merge(spark: SparkSession, sf: str) -> DataFrame:
-    """processor_split_multiline_log_string_native semantics
-    (ProcessorSplitMultilineLogStringNative.cpp:95-127): regroup turns
-    into blocks starting at parseable 'invoke tool=' lines —
-    sessionization via running-sum window, merge via sorted
-    collect_list (split.py::split_regex)."""
+    """processor_split_multiline_log_string_native, Start-only mode
+    (ProcessorSplitMultilineLogStringNative.cpp:159-309): regroup
+    turns into blocks starting at 'invoke tool=' lines; lines before
+    the first start follow UnmatchedContentTreatment=SINGLE_LINE
+    (each its own event). Merge groups are capped at max_merge_lines
+    so no task materializes an unbounded conversation."""
     from ilogtail_spark.operators.split import split_regex
 
     df = derive_transcripts(spark, sf)
@@ -474,6 +475,7 @@ def _q_multiline_merge(spark: SparkSession, sf: str) -> DataFrame:
         start_pattern=r"^invoke tool=",
         order_col="turn_idx",
         group_cols=["conv_id"],
+        unmatched="single_line",
     ).select("conv_id", "turn_idx", "text")
 
 
@@ -686,6 +688,26 @@ def _q_container_log(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
+    """Start+End multiline mode with UnmatchedContentTreatment=DISCARD
+    (ProcessorSplitMultilineLogStringNative.cpp:159-309,
+    MultilineOptions.h:31-53): events span from a malformed 'status=XX'
+    line through the next err=E* line; everything outside a terminated
+    span is discarded."""
+    from ilogtail_spark.operators.split import split_multiline
+
+    df = derive_transcripts(spark, sf)
+    return split_multiline(
+        df,
+        source="text",
+        order_col="turn_idx",
+        group_cols=["conv_id"],
+        start_pattern=r"^invoke tool= status=XX",
+        end_pattern=r"err=E\d+",
+        unmatched="discard",
+    ).select("conv_id", "turn_idx", "text")
+
+
 def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """processor_encrypt (processor_encrypt.go:57-69): AES-CBC encrypt
     then decrypt — the roundtrip output equals the original text, so
@@ -742,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_filter_tree": _q_filter_tree,
         "q42_dynamic_sink": _q_dynamic_sink,
         "q43_container_log": _q_container_log,
+        "q44_multiline_end": _q_multiline_end,
     }
 
 
@@ -978,7 +1001,9 @@ def oracle_sql() -> dict[str, str]:
              FROM marked)
            SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx,
                   string_agg(text, chr(10) ORDER BY turn_idx) AS text
-           FROM grp GROUP BY conv_id, g""",
+           FROM grp WHERE g > 0 GROUP BY conv_id, g
+           UNION ALL
+           SELECT conv_id, turn_idx, text FROM grp WHERE g = 0""",
         "q32_anchor": TRANSCRIPTS_CTE
         + """
            SELECT NULLIF(regexp_extract(text, 'status=(.*?) latency_ms', 1), '') AS status_str,
@@ -1048,6 +1073,27 @@ def oracle_sql() -> dict[str, str]:
              AND NOT regexp_matches(err, '-')
              AND regexp_matches(url, '/api/v[12]/.*')
            GROUP BY method, err""",
+        "q44_multiline_end": TRANSCRIPTS_CTE
+        + r""",
+           m AS (
+             SELECT conv_id, turn_idx, text,
+                    CASE WHEN regexp_matches(text, '^invoke tool= status=XX') THEN 1 ELSE 0 END AS s,
+                    CASE WHEN regexp_matches(text, 'err=E\d+') THEN 1 ELSE 0 END AS e
+             FROM transcripts),
+           b AS (
+             SELECT *, sum(e) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - e AS blk
+             FROM m),
+           t AS (
+             SELECT *, sum(e) OVER (PARTITION BY conv_id) AS tot_e,
+                    min(CASE WHEN s = 1 THEN turn_idx END)
+                      OVER (PARTITION BY conv_id, blk) AS first_s
+             FROM b)
+           SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx,
+                  string_agg(text, chr(10) ORDER BY turn_idx) AS text
+           FROM t WHERE blk < tot_e AND first_s IS NOT NULL AND turn_idx >= first_s
+           GROUP BY conv_id, blk""",
         "q40_config_pipeline": PARSED_CTE
         + """
            SELECT conv_id, turn_idx, tool_call,

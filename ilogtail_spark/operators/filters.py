@@ -162,13 +162,34 @@ def rate_limit(
     keys: list[str],
     limit_per_key: int,
     order_col: str = "ts",
+    salt_n: int = 32,
 ) -> DataFrame:
     """processor_rate_limit (processor_rate_limit.go:26-33,100,
     token_bucket.go:33-118): token-bucket per distinct value-combo of
     ``keys``. Batch semantics: first ``limit_per_key`` events per key
-    in ``order_col`` order survive — a windowed row_number, which
-    Spark executes as one shuffle + per-partition streaming rank.
+    in ``order_col`` order survive.
+
+    Two-phase de-skewed top-k: phase 1 ranks within (keys, salt) —
+    salt = hash(order_col) % salt_n splits a hot key across salt_n
+    uniform shuffle groups — and keeps ≤ limit rows per group; phase 2
+    ranks the surviving ≤ limit×salt_n rows per key globally. Sound
+    because the global first-``limit`` rows of a key are, within ANY
+    salt group they land in, among that group's first ``limit`` rows —
+    phase 1 retains a superset, phase 2 is exact. A plain single
+    window funnels a hot key's entire volume (28% of all rows on the
+    transcripts fixture) through ONE task; the salted pre-cap bounds
+    every task to ~rows/salt_n for phase 1 and limit×salt_n for
+    phase 2. With ties in ``order_col`` the surviving row set among
+    tied rows is arbitrary (same as the single-window formulation).
     """
+    if salt_n and salt_n > 1:
+        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_n))
+        w1 = Window.partitionBy(*keys, salt).orderBy(F.col(order_col).asc())
+        df = (
+            df.withColumn("_rl_pre", F.row_number().over(w1))
+            .filter(F.col("_rl_pre") <= limit_per_key)
+            .drop("_rl_pre")
+        )
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
     return (
         df.withColumn("_rl_rn", F.row_number().over(w))

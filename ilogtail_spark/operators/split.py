@@ -1,10 +1,28 @@
 """Row splitters & multiline merge (SURVEY.md §2.2).
 
 Splitting = explode (narrow, no shuffle). Multiline merge =
-sessionization: mark group starts with the Start regex, running-sum
-the marks into group ids within each source partition, then regroup.
-One shuffle on (source, group) — unavoidable for cross-row regroup,
-bounded by per-source data size.
+sessionization over (source-stream, line-order): regex marks compile
+to window prefix-sums that assign each line a merge-group id, then
+one groupBy concatenates. The reference's line-at-a-time state
+machine (core/plugin/processor/inner/
+ProcessorSplitMultilineLogStringNative.cpp:159-309) admits a closed
+form for every pattern combo it actually supports — the reference
+itself normalizes the combos (core/file_server/MultilineOptions.cpp:
+125-155: Continue-only is ignored, Start+Continue+End drops
+Continue), leaving exactly {S, S+C, S+E, C+E, E}.
+
+Scale design: the prefix-sum windows stream O(1)-memory per
+partition; the merge groupBy is capped at ``max_merge_lines`` rows
+per aggregation key (the reference's own max-merged-log-size cap),
+so no task ever materializes an unbounded conversation in one
+collect_list — the round-1 OOM/straggler risk on the hot key.
+
+Documented deviations (pattern-overlap corners, all require one line
+to match two of the three regexes): a Start∧Continue line directly
+after an unmatched run is treated as continuation; a Start∧End line
+opening a span closes it immediately; a Continue∧End line at
+end-of-stream counts as a terminator. Disjoint patterns — the only
+shape the reference's docs and unittests exercise — are exact.
 """
 
 from __future__ import annotations
@@ -13,6 +31,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ilogtail_spark.operators.registry import cfg_pop, register
+
+DEFAULT_MAX_MERGE_LINES = 256
 
 
 def _rx_literal(sep: str) -> str:
@@ -42,6 +62,140 @@ def split_string(
     return out
 
 
+def split_multiline(
+    df: DataFrame,
+    source: str,
+    order_col: str,
+    group_cols: list[str],
+    start_pattern: str | None = None,
+    continue_pattern: str | None = None,
+    end_pattern: str | None = None,
+    unmatched: str = "single_line",  # single_line | discard | merge
+    max_merge_lines: int = DEFAULT_MAX_MERGE_LINES,
+    dest: str | None = None,
+) -> DataFrame:
+    """processor_split_multiline_log_string_native /
+    processor_merge_multiline_log_native
+    (ProcessorSplitMultilineLogStringNative.cpp:159-309,
+    MultilineOptions.h:31-53).
+
+    ``group_cols`` identifies the source stream (conv/file),
+    ``order_col`` the line order within it. Pattern combos follow the
+    reference's own normalization (MultilineOptions.cpp:125-155):
+    Continue without Start/End is ignored (no multiline);
+    Start+Continue+End ignores Continue.
+
+    Mode semantics (reference state machine → closed form):
+      * S      — event starts at a Start line; runs to the next Start.
+      * S+C    — event = Start line + following Continue lines.
+      * S+E    — event = first Start after previous End … next End
+                 (inclusive); an unterminated span at EOF is unmatched.
+      * C+E    — event = run of Continue lines + one terminator line,
+                 matched iff the terminator matches End; a lone End
+                 line is its own event.
+      * E      — everything up to and including an End line.
+
+    ``unmatched`` is the reference's UnmatchedContentTreatment:
+    SINGLE_LINE emits each unmatched line as its own event, DISCARD
+    drops them (.cpp:342-362). "merge" is a repo extension (legacy
+    round-1 behavior): unmatched runs merge like matched groups.
+
+    Groups larger than ``max_merge_lines`` are flushed in chunks —
+    the reference's max-merged-log-size cap — so one hot stream can
+    never funnel an unbounded array through a single task.
+    """
+    S, C, E = (
+        start_pattern is not None,
+        continue_pattern is not None,
+        end_pattern is not None,
+    )
+    if C and S and E:
+        C, continue_pattern = False, None  # MultilineOptions.cpp:140-155
+    if C and not S and not E:
+        C, continue_pattern = False, None  # MultilineOptions.cpp:125-139
+    out_col = dest or source
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    wfull = Window.partitionBy(*group_cols)
+    src = F.col(source)
+    m = df.withColumn("_s", src.rlike(start_pattern) if S else F.lit(False))
+    m = m.withColumn("_c", F.col(source).rlike(continue_pattern) if C else F.lit(False))
+    m = m.withColumn("_e", F.col(source).rlike(end_pattern) if E else F.lit(False))
+
+    if S and not C and not E:
+        m = m.withColumn("_gid", F.sum(F.col("_s").cast("int")).over(w))
+        m = m.withColumn("_matched", F.col("_gid") > 0)
+    elif S and C:
+        m = m.withColumn("_gid", F.sum((~F.col("_c")).cast("int")).over(w))
+        wseg = Window.partitionBy(*group_cols, "_gid").orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        m = m.withColumn("_matched", F.first("_s").over(wseg))
+    elif E and not C:  # E or S+E
+        m = m.withColumn(
+            "_gid", F.sum(F.col("_e").cast("int")).over(w) - F.col("_e").cast("int")
+        )
+        m = m.withColumn("_tot_e", F.sum(F.col("_e").cast("int")).over(wfull))
+        has_end = F.col("_gid") < F.col("_tot_e")
+        if S:
+            wseg = Window.partitionBy(*group_cols, "_gid").orderBy(order_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            first_s = F.min(F.when(F.col("_s"), F.col(order_col))).over(wseg)
+            m = m.withColumn(
+                "_matched",
+                has_end & first_s.isNotNull() & (F.col(order_col) >= first_s),
+            )
+        else:
+            m = m.withColumn("_matched", has_end)
+        m = m.drop("_tot_e")
+    elif C and E:
+        prev_c = F.lag(F.col("_c"), 1, False).over(w)
+        m = m.withColumn("_gid", F.sum((~prev_c).cast("int")).over(w))
+        wseg = Window.partitionBy(*group_cols, "_gid").orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        m = m.withColumn("_matched", F.last("_e").over(wseg))
+    else:
+        # no multiline config at all: passthrough
+        return df
+
+    if unmatched == "merge":
+        m = m.withColumn("_matched", F.lit(True))
+    m = m.drop("_s", "_c", "_e")
+
+    matched = m.filter(F.col("_matched"))
+    # bound the per-key merge: chunk index caps any one collect_list
+    wg = Window.partitionBy(*group_cols, "_gid").orderBy(order_col)
+    matched = matched.withColumn(
+        "_sub", F.floor((F.row_number().over(wg) - 1) / F.lit(max_merge_lines))
+    )
+    merged = (
+        matched.groupBy(*group_cols, "_gid", "_sub")
+        .agg(
+            F.min(order_col).alias(order_col),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col(order_col).alias("o"), src.alias("v"))
+                        )
+                    ),
+                    lambda s: s["v"],
+                ),
+                "\n",
+            ).alias(out_col),
+        )
+        .drop("_gid", "_sub")
+    )
+    if unmatched == "discard":
+        return merged
+    singles = m.filter(~F.col("_matched")).select(
+        *group_cols, F.col(order_col), src.alias(out_col)
+    )
+    return merged.unionByName(singles)
+
+
 def split_regex(
     df: DataFrame,
     source: str,
@@ -49,45 +203,28 @@ def split_regex(
     order_col: str,
     group_cols: list[str],
     dest: str | None = None,
+    unmatched: str = "single_line",
+    max_merge_lines: int = DEFAULT_MAX_MERGE_LINES,
 ) -> DataFrame:
-    """processor_split_log_regex (split_log_regex.go:27-140) /
-    processor_split_multiline_log_string_native
-    (ProcessorSplitMultilineLogStringNative.cpp:95-127): lines are
-    regrouped so each output event starts at a line matching
-    ``start_pattern``; continuation lines are appended with \\n.
-
-    ``group_cols`` identifies the source stream (e.g. conv_id / file);
-    ``order_col`` the line order within it. Lines before the first
-    start-match form their own (unmatched) group — the reference's
-    "single-line" treatment for orphans.
-    """
-    w = Window.partitionBy(*group_cols).orderBy(order_col)
-    marked = df.withColumn(
-        "_is_start", F.when(F.col(source).rlike(start_pattern), 1).otherwise(0)
-    ).withColumn("_grp", F.sum("_is_start").over(w))
-    # concat in deterministic order: sort collected (order, value) structs
-    merged = (
-        marked.groupBy(*group_cols, "_grp")
-        .agg(
-            F.min(order_col).alias(order_col),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(source).alias("v")))
-                    ),
-                    lambda s: s["v"],
-                ),
-                "\n",
-            ).alias(dest or source),
-        )
-        .drop("_grp")
+    """processor_split_log_regex (split_log_regex.go:27-140) —
+    Start-only mode of :func:`split_multiline`: each output event
+    starts at a line matching ``start_pattern``; continuation lines
+    append with \\n; lines before the first start follow the
+    ``unmatched`` policy."""
+    return split_multiline(
+        df,
+        source,
+        order_col,
+        group_cols,
+        start_pattern=start_pattern,
+        unmatched=unmatched,
+        max_merge_lines=max_merge_lines,
+        dest=dest,
     )
-    return merged
 
 
 @register("processor_split_string_native")
 @register("processor_split_log_string")
-@register("processor_split_char")
 @register("processor_split_string")
 def _split_factory(**cfg):
     source = cfg_pop(cfg, "SourceKey", "source", default="text")
@@ -98,12 +235,31 @@ def _split_factory(**cfg):
 @register("processor_split_log_regex")
 @register("processor_split_multiline_log_string_native")
 @register("processor_merge_multiline_log_native")
-def _split_regex_factory(**cfg):
-    return lambda df: split_regex(
+def _split_multiline_factory(**cfg):
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    start = cfg_pop(cfg, "StartPattern", "SplitRegex", "start_pattern", default=None)
+    cont = cfg_pop(cfg, "ContinuePattern", "continue_pattern", default=None)
+    end = cfg_pop(cfg, "EndPattern", "end_pattern", default=None)
+    unmatched = str(
+        cfg_pop(
+            cfg, "UnmatchedContentTreatment", "unmatched", default="single_line"
+        )
+    ).lower()
+    order_col = cfg_pop(cfg, "order_col", default="turn_idx")
+    group_cols = cfg_pop(cfg, "group_cols", default=["conv_id"])
+    max_lines = int(
+        cfg_pop(cfg, "MaxMergeLines", "max_merge_lines", default=DEFAULT_MAX_MERGE_LINES)
+    )
+    dest = cfg_pop(cfg, "dest", default=None)
+    return lambda df: split_multiline(
         df,
-        source=cfg.get("SourceKey", cfg.get("source", "text")),
-        start_pattern=cfg.get("SplitRegex", cfg.get("start_pattern")),
-        order_col=cfg.get("order_col", "turn_idx"),
-        group_cols=cfg.get("group_cols", ["conv_id"]),
-        dest=cfg.get("dest"),
+        source,
+        order_col,
+        group_cols,
+        start_pattern=start,
+        continue_pattern=cont,
+        end_pattern=end,
+        unmatched=unmatched,
+        max_merge_lines=max_lines,
+        dest=dest,
     )

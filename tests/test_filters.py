@@ -83,3 +83,32 @@ def test_rate_limit(spark):
     assert out.count() == 6
     kept = sorted((r.key, r.ts) for r in out.collect())
     assert kept == [("k0", 0), ("k0", 1), ("k0", 2), ("k1", 0), ("k1", 1), ("k1", 2)]
+
+
+def test_rate_limit_deskewed_phase1(spark):
+    """A hot key must not funnel through one window task: the phase-1
+    pre-cap ranks within (key, salt) groups whose sizes stay near the
+    mean, and the global phase sees <= limit*salt_n rows per key."""
+    from pyspark.sql import functions as F
+
+    rows = [("hot", i) for i in range(10_000)] + [
+        (f"cold{i}", j) for i in range(20) for j in range(5)
+    ]
+    df = spark.createDataFrame(rows, "key string, ts int")
+    out = rate_limit(df, ["key"], 3, order_col="ts", salt_n=32)
+    kept = sorted((r.key, r.ts) for r in out.filter("key = 'hot'").collect())
+    assert kept == [("hot", 0), ("hot", 1), ("hot", 2)]
+    assert out.count() == 3 + 20 * 3
+
+    # distribution: the hot key's phase-1 shuffle groups are balanced
+    # (no group > 2x mean)
+    salt = F.pmod(F.xxhash64(F.col("ts")), F.lit(32))
+    sizes = [
+        r["n"]
+        for r in df.filter("key = 'hot'")
+        .groupBy(salt.alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 32
+    assert max(sizes) <= 2 * (sum(sizes) / len(sizes))

@@ -1,4 +1,16 @@
-from ilogtail_spark.operators.split import split_regex, split_string
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.split import split_multiline, split_regex, split_string
+
+
+def _lines(spark, texts):
+    return spark.createDataFrame(
+        [("c1", i, t) for i, t in enumerate(texts)], "conv_id string, line int, text string"
+    )
+
+
+def _merged(df):
+    return sorted((r["line"], r["text"]) for r in df.collect())
 
 
 def test_split_string_explode(spark):
@@ -34,3 +46,99 @@ def test_split_regex_multiline_merge(spark):
     assert rows[0]["text"] == "2024-01-01 ERROR boom\n  at Foo.bar\n  at Baz.qux"
     assert rows[1]["text"] == "2024-01-01 INFO fine"
     assert rows[2]["text"] == "2024-01-01 WARN solo"
+
+
+# --- multiline mode matrix (ProcessorSplitMultilineLogStringNative.cpp:159-309,
+# combos per MultilineOptions.cpp:125-155) -------------------------------------
+
+def test_multiline_start_only_orphans_single_line(spark):
+    df = _lines(spark, ["junk1", "junk2", "START a", "cont", "START b"])
+    out = split_multiline(
+        df, "text", "line", ["conv_id"], start_pattern=r"^START"
+    )
+    assert _merged(out) == [
+        (0, "junk1"), (1, "junk2"), (2, "START a\ncont"), (4, "START b")
+    ]
+    disc = split_multiline(
+        df, "text", "line", ["conv_id"], start_pattern=r"^START", unmatched="discard"
+    )
+    assert _merged(disc) == [(2, "START a\ncont"), (4, "START b")]
+
+
+def test_multiline_start_continue(spark):
+    df = _lines(spark, ["START a", "cont1", "cont2", "junk", "START b", "junk2"])
+    out = split_multiline(
+        df, "text", "line", ["conv_id"],
+        start_pattern=r"^START", continue_pattern=r"^cont",
+    )
+    assert _merged(out) == [
+        (0, "START a\ncont1\ncont2"), (3, "junk"), (4, "START b"), (5, "junk2")
+    ]
+
+
+def test_multiline_start_end(spark):
+    df = _lines(spark, ["x", "BEGIN", "mid", "END", "y", "BEGIN", "dangling"])
+    out = split_multiline(
+        df, "text", "line", ["conv_id"],
+        start_pattern=r"^BEGIN", end_pattern=r"^END",
+    )
+    # unterminated span at EOF is unmatched (cpp:298-307)
+    assert _merged(out) == [
+        (0, "x"), (1, "BEGIN\nmid\nEND"), (4, "y"), (5, "BEGIN"), (6, "dangling")
+    ]
+    disc = split_multiline(
+        df, "text", "line", ["conv_id"],
+        start_pattern=r"^BEGIN", end_pattern=r"^END", unmatched="discard",
+    )
+    assert _merged(disc) == [(1, "BEGIN\nmid\nEND")]
+
+
+def test_multiline_end_only(spark):
+    df = _lines(spark, ["a", "b", "END", "c", "END", "tail"])
+    out = split_multiline(df, "text", "line", ["conv_id"], end_pattern=r"^END")
+    assert _merged(out) == [(0, "a\nb\nEND"), (3, "c\nEND"), (5, "tail")]
+
+
+def test_multiline_continue_end(spark):
+    df = _lines(spark, ["C1", "C2", "E", "x", "E2", "C3", "junk"])
+    out = split_multiline(
+        df, "text", "line", ["conv_id"],
+        continue_pattern=r"^C", end_pattern=r"^E",
+    )
+    # lone End line is its own event (cpp:187-192); a continue-run with
+    # a non-End terminator is unmatched including the terminator
+    assert _merged(out) == [
+        (0, "C1\nC2\nE"), (3, "x"), (4, "E2"), (5, "C3"), (6, "junk")
+    ]
+
+
+def test_multiline_combo_normalization(spark):
+    # S+C+E drops Continue (MultilineOptions.cpp:140-155) ⇒ behaves as S+E
+    df = _lines(spark, ["BEGIN", "c", "END", "junk"])
+    out = split_multiline(
+        df, "text", "line", ["conv_id"],
+        start_pattern=r"^BEGIN", continue_pattern=r"^c", end_pattern=r"^END",
+    )
+    assert _merged(out) == [(0, "BEGIN\nc\nEND"), (3, "junk")]
+    # Continue-only is ignored entirely ⇒ passthrough
+    df2 = _lines(spark, ["c1", "c2"])
+    out2 = split_multiline(df2, "text", "line", ["conv_id"], continue_pattern=r"^c")
+    assert _merged(out2) == [(0, "c1"), (1, "c2")]
+
+
+def test_multiline_merge_group_cap(spark):
+    """A hot stream with one giant merge group must flush in bounded
+    chunks — no single aggregation key sees more than max_merge_lines
+    rows (the round-1 collect_list OOM risk)."""
+    texts = ["START 0"] + [f"cont {i}" for i in range(1, 600)]
+    df = _lines(spark, texts)
+    out = split_multiline(
+        df, "text", "line", ["conv_id"], start_pattern=r"^START",
+        max_merge_lines=256,
+    ).collect()
+    sizes = sorted(len(r["text"].split("\n")) for r in out)
+    assert sizes == [88, 256, 256]
+    # round trip: all input lines survive in order
+    joined = sorted(out, key=lambda r: r["line"])
+    all_lines = [ln for r in joined for ln in r["text"].split("\n")]
+    assert all_lines == texts
