@@ -312,14 +312,21 @@ def _q_hourly_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_grok(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_grok ordered Match list (processor_grok.go:147-192):
+    first success wins — pattern 1 parses invoke lines, pattern 2
+    catches prose turns; malformed rows fail both."""
     from ilogtail_spark.functions.grok import grok_parse
 
     df = derive_transcripts(spark, sf)
     out = grok_parse(
         df,
-        'invoke tool=%{WORD:g_tool} status=%{INT:g_status:int} '
-        'latency_ms=%{INT:g_lat:int} "%{WORD:g_method} %{NOTSPACE:g_url}" '
-        "err=%{NOTSPACE:g_err}",
+        [
+            'invoke tool=%{WORD:g_tool} status=%{INT:g_status:int} '
+            'latency_ms=%{INT:g_lat:int} "%{WORD:g_method} %{NOTSPACE:g_url}" '
+            "err=%{NOTSPACE:g_err}",
+            "the assistant considered %{NOTSPACE:g_topic} and replied "
+            "with plain prose turn %{INT:g_turn:int}",
+        ],
     )
     return out.select(
         "conv_id",
@@ -331,6 +338,8 @@ def _q_grok(spark: SparkSession, sf: str) -> DataFrame:
         "g_method",
         "g_url",
         "g_err",
+        "g_topic",
+        "g_turn",
     )
 
 
@@ -854,6 +863,9 @@ _GROK_PAT = (
     r'invoke tool=(\w+) status=([+-]?\d+) latency_ms=([+-]?\d+)'
     r' "(\w+) (\S+)" err=(\S+)'
 )
+_GROK_PAT2 = (
+    r"the assistant considered (\S+) and replied with plain prose turn ([+-]?\d+)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -929,13 +941,15 @@ def oracle_sql() -> dict[str, str]:
              FROM transcripts GROUP BY 1, 2""",
         "q19_grok_parse": TRANSCRIPTS_CTE
         + f"""SELECT conv_id, turn_idx,
-                    regexp_matches(text, '{_GROK_PAT}') AS parse_ok,
+                    regexp_matches(text, '{_GROK_PAT}') OR regexp_matches(text, '{_GROK_PAT2}') AS parse_ok,
                     CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 1) END AS g_tool,
                     CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN CAST(regexp_extract(text, '{_GROK_PAT}', 2) AS INTEGER) END AS g_status,
                     CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN CAST(regexp_extract(text, '{_GROK_PAT}', 3) AS INTEGER) END AS g_lat,
                     CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 4) END AS g_method,
                     CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 5) END AS g_url,
-                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 6) END AS g_err
+                    CASE WHEN regexp_matches(text, '{_GROK_PAT}') THEN regexp_extract(text, '{_GROK_PAT}', 6) END AS g_err,
+                    CASE WHEN NOT regexp_matches(text, '{_GROK_PAT}') AND regexp_matches(text, '{_GROK_PAT2}') THEN regexp_extract(text, '{_GROK_PAT2}', 1) END AS g_topic,
+                    CASE WHEN NOT regexp_matches(text, '{_GROK_PAT}') AND regexp_matches(text, '{_GROK_PAT2}') THEN CAST(regexp_extract(text, '{_GROK_PAT2}', 2) AS INTEGER) END AS g_turn
              FROM transcripts""",
         "q20_logstore_router": PARSED_CTE
         + r"""SELECT CASE

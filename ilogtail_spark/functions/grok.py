@@ -107,22 +107,92 @@ def compile_grok(
 
 def grok_parse(
     df,
-    pattern: str,
+    pattern: str | list[str],
     source: str = "text",
     custom_patterns: dict[str, str] | None = None,
     options=None,
     engine: str = "native",
 ):
     """processor_grok as a DataFrame transform: compile at the driver,
-    execute with parse_regex (JVM) or parse_regex_pandas (Arrow)."""
+    execute with parse_regex (JVM) or parse_regex_pandas (Arrow).
+
+    ``pattern`` may be an ORDERED LIST of grok expressions — the
+    reference's Match semantics (processor_grok.go:147-192): patterns
+    try in order, first success wins and contributes its fields; the
+    output schema is the union of every pattern's fields (non-winning
+    patterns' fields stay null). The per-log timeout has no batch
+    analogue — Catalyst regexes don't backtrack pathologically on the
+    anchored idiom set and a stuck task is the cluster's speculative
+    -execution concern, not per-row bookkeeping."""
     from ilogtail_spark.operators.parse import parse_regex, parse_regex_pandas
 
-    regex, fields, types = compile_grok(pattern, custom_patterns)
-    # aliased captures are numbered in order of appearance; nested
-    # non-capturing groups don't shift numbering because expansion
-    # only emits (?:...) for unaliased refs
-    fn = parse_regex if engine == "native" else parse_regex_pandas
-    return fn(df, regex, fields, source=source, types=types, options=options)
+    pats = [pattern] if isinstance(pattern, str) else list(pattern)
+    if len(pats) == 1:
+        regex, fields, types = compile_grok(pats[0], custom_patterns)
+        # aliased captures are numbered in order of appearance; nested
+        # non-capturing groups don't shift numbering because expansion
+        # only emits (?:...) for unaliased refs
+        fn = parse_regex if engine == "native" else parse_regex_pandas
+        return fn(df, regex, fields, source=source, types=types, options=options)
+    if engine != "native":
+        raise ValueError("multi-pattern grok supports the native engine only")
+    return _grok_parse_multi(df, pats, source, custom_patterns, options)
+
+
+def _grok_parse_multi(df, pats, source, custom_patterns, options):
+    """First-success-wins over an ordered pattern list, all JVM-side:
+    one rlike per pattern picks the winner, one regexp_extract per
+    (winning pattern, field). Everything is materialized through a
+    single struct column so the rlike chain isn't re-inlined into
+    every extracted field downstream."""
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.operators.parse import _apply_failure_contract, ParserOptions
+
+    compiled = [compile_grok(p, custom_patterns) for p in pats]
+    opts = options or ParserOptions()
+    src = F.col(source)
+
+    win = F.lit(-1)
+    for i in range(len(compiled) - 1, -1, -1):
+        win = F.when(src.isNotNull() & src.rlike(compiled[i][0]), F.lit(i)).otherwise(win)
+
+    union_fields: list[str] = []
+    union_types: dict[str, str] = {}
+    for _, fields, types in compiled:
+        for f in fields:
+            if f not in union_fields:
+                union_fields.append(f)
+        for f, t in types.items():
+            union_types.setdefault(f, t)
+
+    struct_cols = [win.alias("__win")]
+    for f in union_fields:
+        expr = F.lit(None).cast("string")
+        # build in reverse so earlier patterns take precedence
+        for i in range(len(compiled) - 1, -1, -1):
+            regex, fields, _ = compiled[i]
+            if f in fields:
+                expr = F.when(
+                    F.col("_gw.__win") == i,
+                    F.regexp_extract(src, regex, fields.index(f) + 1),
+                ).otherwise(expr)
+        struct_cols.append(expr.alias(f))
+
+    # two-step: winner first (so field extraction references _gw.__win,
+    # not a re-inlined rlike chain), then the field values
+    out = df.withColumn("_gw", F.struct(win.alias("__win")))
+    field_struct = F.struct(
+        F.col("_gw.__win").alias("__win"), *struct_cols[1:]
+    )
+    out = out.withColumn("_gw", field_struct)
+    for f in union_fields:
+        col = F.col(f"_gw.{f}")
+        if f in union_types:
+            col = col.cast(union_types[f])
+        out = out.withColumn(f, col)
+    out = _apply_failure_contract(out, source, F.col("_gw.__win") >= 0, opts)
+    return out.drop("_gw")
 
 
 from ilogtail_spark.operators.registry import register  # noqa: E402
@@ -131,14 +201,8 @@ from ilogtail_spark.operators.registry import register  # noqa: E402
 @register("processor_grok")
 def _grok_factory(**cfg):
     """processor_grok (processor_grok.go:41-55,147-192): Match takes
-    an ordered list of grok expressions; first success wins. We apply
-    the first pattern (multi-pattern chains compose via
-    fields_with_condition in config)."""
+    an ordered list of grok expressions; first success wins."""
     patterns = cfg.get("Match", cfg.get("patterns"))
-    pattern = patterns[0] if isinstance(patterns, list) else patterns
-    return lambda df: grok_parse(
-        df,
-        pattern,
-        source=cfg.get("SourceKey", cfg.get("source", "text")),
-        custom_patterns=cfg.get("CustomPatterns", cfg.get("custom_patterns")),
-    )
+    source = cfg.get("SourceKey", cfg.get("source", "text"))
+    custom = cfg.get("CustomPatterns", cfg.get("custom_patterns"))
+    return lambda df: grok_parse(df, patterns, source=source, custom_patterns=custom)

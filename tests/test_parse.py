@@ -200,3 +200,30 @@ def test_container_log_docker_and_cri(spark):
     assert out["a"]["content"] == "hello world" and not out["a"]["_partial"]
     assert out["b"]["_partial"] is True
     assert not out["c"][PARSE_OK_KEY]
+
+
+def test_grok_multi_pattern_first_wins(spark):
+    """processor_grok.go:147-192: ordered Match list, first success
+    wins; output schema is the union of all patterns' fields."""
+    df = _df(spark, ["code=42 extra", "user alice logged", "nothing"])
+    out = (
+        grok_parse(
+            df,
+            ["code=%{INT:code:int}", "user %{WORD:who} logged"],
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["code"] == 42 and out[0]["who"] is None
+    assert out[1]["code"] is None and out[1]["who"] == "alice"
+    assert out[1][PARSE_OK_KEY] is True
+    assert out[2][PARSE_OK_KEY] is False and out[2][RAW_LOG_KEY] == "nothing"
+
+
+def test_grok_multi_pattern_overlapping_fields(spark):
+    # same alias in both patterns: the winning pattern's value is used
+    df = _df(spark, ["a=1", "b=2"])
+    out = (
+        grok_parse(df, ["a=%{INT:v}", "b=%{INT:v}"]).orderBy("id").collect()
+    )
+    assert out[0]["v"] == "1" and out[1]["v"] == "2"
