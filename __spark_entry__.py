@@ -717,6 +717,18 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_desensitize_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_desensitize Method=md5 Match=regex
+    (processor_desensitize.go:146-184): EVERY '=<digits>' region gets
+    its content replaced by the md5 of the matched digits — two
+    occurrences per parseable line exercises the multi-match rebuild."""
+    df = derive_transcripts(spark, sf)
+    out = desensitize(
+        df, "text", method="md5", regex_begin=r"=", regex_content=r"\d+"
+    )
+    return out.select("conv_id", "turn_idx", F.col("text").alias("masked"))
+
+
 def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """processor_encrypt (processor_encrypt.go:57-69): AES-CBC encrypt
     then decrypt — the roundtrip output equals the original text, so
@@ -774,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_dynamic_sink": _q_dynamic_sink,
         "q43_container_log": _q_container_log,
         "q44_multiline_end": _q_multiline_end,
+        "q45_desensitize_md5": _q_desensitize_md5,
     }
 
 
@@ -1087,6 +1100,22 @@ def oracle_sql() -> dict[str, str]:
              AND NOT regexp_matches(err, '-')
              AND regexp_matches(url, '/api/v[12]/.*')
            GROUP BY method, err""",
+        "q45_desensitize_md5": TRANSCRIPTS_CTE
+        + r""",
+           x AS (
+             SELECT conv_id, turn_idx,
+                    regexp_split_to_array(text, '(=)(\d+)') AS s,
+                    regexp_extract_all(text, '(=)(\d+)', 1) AS b,
+                    regexp_extract_all(text, '(=)(\d+)', 2) AS c
+             FROM transcripts)
+           SELECT conv_id, turn_idx,
+                  array_to_string(
+                    list_concat(
+                      [s[1]],
+                      flatten(list_transform(generate_series(1, len(b)),
+                                             i -> [b[i], md5(c[i]), s[i+1]]))
+                    ), '') AS masked
+           FROM x""",
         "q44_multiline_end": TRANSCRIPTS_CTE
         + r""",
            m AS (

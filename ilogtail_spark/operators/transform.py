@@ -115,17 +115,46 @@ def desensitize(
     regex_content: str | None = None,
 ) -> DataFrame:
     """processor_desensitize (+native)
-    (processor_desensitize.go:34-49,187, ProcessorDesensitizeNative.cpp:146-159).
+    (processor_desensitize.go:146-184, ProcessorDesensitizeNative.cpp:146-159).
 
-    Full-value mask, or region mask: content matched by
-    ``regex_begin + regex_content`` has the content part replaced.
+    Full-value mask, or region mask: every occurrence of
+    ``regex_begin + regex_content`` has the content part replaced —
+    const mode with ``replacement``, md5 mode with the md5 hex OF THE
+    MATCHED CONTENT (the reference hashes each match,
+    processor_desensitize.go:173-177).
+
+    md5+region plan: regexp_extract_all pulls every (begin, content)
+    pair, split carves the non-matching segments, and one
+    flatten/transform rebuilds begin+md5(content) interleaved with the
+    segments — all JVM expressions, no UDF.
     """
+    src = F.col(source)
     if regex_begin and regex_content:
-        pat = f"({regex_begin}){regex_content}"
-        repl = f"$1{replacement}" if method == "const" else "$1<md5>"
-        col = F.regexp_replace(F.col(source), pat, repl)
+        import re as _re
+
+        pat = f"({regex_begin})({regex_content})"
+        # user regexes may carry their own capture groups — locate ours
+        content_group = 2 + _re.compile(regex_begin).groups
+        if method == "const":
+            col = F.regexp_replace(src, pat, f"$1{replacement}")
+        else:
+            begins = F.regexp_extract_all(src, F.lit(pat), F.lit(1))
+            contents = F.regexp_extract_all(src, F.lit(pat), F.lit(content_group))
+            segments = F.split(src, pat, -1)
+            parts = F.concat(
+                F.slice(segments, 1, 1),
+                F.flatten(
+                    F.transform(
+                        begins,
+                        lambda b, i: F.array(
+                            b, F.md5(F.get(contents, i)), F.get(segments, i + 1)
+                        ),
+                    )
+                ),
+            )
+            col = F.array_join(parts, "")
     elif method == "md5":
-        col = F.md5(F.col(source))
+        col = F.md5(src)
     else:
         col = F.lit(replacement)
     return df.withColumn(source, col)

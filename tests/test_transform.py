@@ -84,3 +84,47 @@ def test_base64_roundtrip_md5_packjson_appender(spark):
     assert len(md5_field(df, "a", "h").first()["h"]) == 32
     assert pack_json(df, ["a", "b"], "j").first()["j"] == '{"a":"hello","b":"w"}'
     assert appender(df, {"a": "!", "c": "new"}).first()["a"] == "hello!"
+
+
+def test_desensitize_md5_region_hashes_content(spark):
+    """Method=md5 + Match=regex must replace each matched content with
+    the md5 OF THAT CONTENT (processor_desensitize.go:173-177), for
+    every occurrence."""
+    import hashlib
+    import re
+
+    from ilogtail_spark.operators.transform import desensitize
+
+    texts = [
+        "status=200 latency_ms=15 done",   # two matches
+        "no digits here",                  # zero matches
+        "x=1",                             # match at end of string
+        "=7 leading",                      # match at start
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string"
+    )
+    out = desensitize(
+        df, "text", method="md5", regex_begin=r"=", regex_content=r"\d+"
+    ).orderBy("id").collect()
+
+    def expected(t):
+        return re.sub(
+            r"(=)(\d+)",
+            lambda m: m.group(1) + hashlib.md5(m.group(2).encode()).hexdigest(),
+            t,
+        )
+
+    for row, t in zip(out, texts):
+        assert row["text"] == expected(t), t
+
+
+def test_desensitize_const_region_all_occurrences(spark):
+    from ilogtail_spark.operators.transform import desensitize
+
+    df = spark.createDataFrame([(0, "a=1 b=2")], "id int, text string")
+    out = desensitize(
+        df, "text", method="const", replacement="***",
+        regex_begin=r"=", regex_content=r"\d+",
+    ).first()
+    assert out["text"] == "a=*** b=***"
