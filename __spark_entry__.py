@@ -418,7 +418,10 @@ def _q_ann_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    # approximate variant — recall<1 by design, driver records rows-only
+    """LSH-bucketed ANN top-k. Approximate w.r.t. brute force, but
+    fully DETERMINISTIC: hyperplanes are md5-derived and the bucket
+    fold is left-associative double math, so the DuckDB oracle
+    replicates it exactly (inlined plane constants, same sum order)."""
     from ilogtail_spark.functions.similarity import ann_lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
@@ -426,11 +429,21 @@ def _q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    # rows-only: LSH-bucketed candidate generation is approximate
+    """Embedding near-dup pairs over the corpus augmented with planted
+    near-duplicates (vec_id<20 scaled by 1.5, ids +100000) — cosine of
+    a vector with its scaled copy is 1.0, so the check is non-vacuous:
+    >= 20 pairs exist at every SF."""
     from ilogtail_spark.functions.similarity import embedding_neardup_pairs
 
-    emb = load_table(spark, sf, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.8, num_planes=6)
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.5).cast("float")
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(copies)
+    return embedding_neardup_pairs(aug, threshold=0.99, num_planes=6)
 
 
 def _q_multimodal(spark: SparkSession, sf: str) -> DataFrame:
@@ -872,6 +885,72 @@ SELECT doc_id,
 FROM _b"""
 
 
+_EMB_DIM = 64  # embeddings.parquet vector dimension (TESTDATA.md)
+
+
+def _lsh_bucket_sql(vec: str, num_planes: int, dim: int = _EMB_DIM) -> str:
+    """DuckDB twin of similarity.lsh_sign_bucket: md5-derived plane
+    constants inlined as literals; projections as explicit
+    left-associative sums so the double arithmetic matches Spark's
+    F.aggregate fold bit-for-bit (sign decisions can't diverge)."""
+    from ilogtail_spark.functions.similarity import _hyperplane
+
+    terms = []
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p)
+        proj = "0.0 + " + " + ".join(
+            f"({vec}[{j + 1}] * {plane[j]!r})" for j in range(dim)
+        )
+        terms.append(f"(CASE WHEN ({proj}) > 0 THEN {2 ** p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _dot_sql(a: str, b: str, dim: int = _EMB_DIM) -> str:
+    return "0.0 + " + " + ".join(f"({a}[{j + 1}] * {b}[{j + 1}])" for j in range(dim))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(({_dot_sql(a, b)}) / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
+    )
+
+
+def _ann_lsh_oracle() -> str:
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             cb AS (SELECT vec_id AS neighbor_id, v AS cv,
+                           ({_lsh_bucket_sql('v', 6)}) AS bucket FROM c),
+             qb AS (SELECT vec_id AS query_id, v AS qv,
+                           ({_lsh_bucket_sql('v', 6)}) AS bucket FROM c
+                    WHERE vec_id < 5),
+             s AS (SELECT query_id, neighbor_id, {_cos_sql('qv', 'cv')} AS cos
+                   FROM qb JOIN cb USING (bucket)
+                   WHERE neighbor_id <> query_id),
+             r AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+                   FROM s)
+        SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 10"""
+
+
+def _neardup_oracle() -> str:
+    return f"""
+        WITH aug AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 (list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)))::DOUBLE[]
+          FROM embeddings WHERE vec_id < 20),
+        b AS (SELECT vec_id, v, ({_lsh_bucket_sql('v', 6)}) AS bucket FROM aug),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                 {_cos_sql('a.v', 'b2.v')} AS cos
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.99"""
+
+
 _GROK_PAT = (
     r'invoke tool=(\w+) status=([+-]?\d+) latency_ms=([+-]?\d+)'
     r' "(\w+) (\S+)" err=(\S+)'
@@ -1005,8 +1084,11 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
             FROM r WHERE rn <= 10""",
-        # q27_ann_lsh / q28_embedding_neardup: approximate by design;
-        # q29_multimodal_features: stubbed decode — rows-only checks.
+        # q27/q28: deterministic LSH (md5 hyperplanes) — exact oracles
+        # with inlined plane constants and left-assoc double sums.
+        # q29_multimodal_features: stubbed decode — rows-only check.
+        "q27_ann_lsh": _ann_lsh_oracle(),
+        "q28_embedding_neardup": _neardup_oracle(),
         "q30_fields_with_condition": PARSED_CTE
         + r"""SELECT CASE
                 WHEN starts_with(CAST(status AS VARCHAR), '5') THEN 'server_error'

@@ -173,6 +173,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.3,
+    max_doc_freq: int | None = 100,
 ) -> DataFrame:
     """Candidate-by-shared-shingle exact n-gram Jaccard.
 
@@ -182,7 +183,17 @@ def ngram_jaccard_pairs(
     number of colliding grams IS the intersection size. Set sizes join
     in per side and ``J = inter / (|A|+|B|-inter)``; no shingle array
     ever crosses a shuffle and no array_intersect runs on candidates.
-    Hot shingles can be frequency-capped upstream at scale.
+
+    ``max_doc_freq`` caps the join's quadratic hot-key blowup: a gram
+    appearing in f documents yields f² join rows, so stop-word-like
+    shingles are dropped from the inverted index when their document
+    frequency exceeds the cap (one extra pre-aggregation on the same
+    shuffle key). Trade-off: intersections through capped grams are
+    not counted — jaccard is UNDERESTIMATED for pairs sharing hot
+    grams and pairs sharing ONLY hot grams are missed (lower recall,
+    never false positives). ``None`` disables the cap (exact, unsafe
+    on skewed corpora). Set sizes ``_n`` are computed BEFORE capping,
+    keeping the denominator exact.
     """
     sh = spread(df).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col)).alias("_sh")
@@ -193,6 +204,12 @@ def ngram_jaccard_pairs(
     inv = sh.select(
         "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g")
     ).select("_id", "_n", _md5_hash64(F.col("_g")).alias("_gh"))
+    if max_doc_freq is not None:
+        freq = inv.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
+        inv = (
+            inv.join(freq.filter(F.col("_df") <= max_doc_freq), "_gh")
+            .drop("_df")
+        )
     inter = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a._gh") == F.col("b._gh")) & (F.col("a._id") < F.col("b._id")))

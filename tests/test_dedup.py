@@ -47,3 +47,26 @@ def test_simhash_similarity(spark):
         return bin(a ^ b).count("1")
 
     assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-word-like shingle in f docs yields f² join rows; the
+    document-frequency cap drops it from the inverted index so the
+    self-join input stays linear. Pairs sharing ONLY the hot gram
+    disappear (documented recall trade-off); pairs sharing rare grams
+    are unaffected."""
+    from ilogtail_spark.functions.dedup import ngram_jaccard_pairs
+
+    hot = [(i, "the quick brown fox " + f"unique{i} filler{i} tail{i}") for i in range(150)]
+    near = [(1000, "alpha beta gamma delta"), (1001, "alpha beta gamma delta epsilon")]
+    df = spark.createDataFrame(hot + near, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, threshold=1e-9, max_doc_freq=None)
+    capped = ngram_jaccard_pairs(df, threshold=1e-9, max_doc_freq=100)
+    # without the cap the hot gram alone creates C(150,2)=11175 pairs
+    assert uncapped.count() >= 11175
+    rows = capped.collect()
+    assert len(rows) == 1  # only the rare-gram near-dup pair survives
+    assert (rows[0]["id_a"], rows[0]["id_b"]) == (1000, 1001)
+    # denominator stays exact: J = 2/(2+3-2)
+    assert abs(rows[0]["jaccard"] - 2 / 3) < 1e-6
