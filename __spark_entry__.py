@@ -196,18 +196,24 @@ def _q_topk_convs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_spl_chain(spark: SparkSession, sf: str) -> DataFrame:
-    # SPL: * | where role='assistant' and parse ok | extend lat_bucket | project ...
-    df = parse_stage(derive_transcripts(spark, sf))
-    return (
-        df.filter((F.col("role") == "assistant") & F.col(PARSE_OK_KEY))
-        .withColumn(
-            "lat_bucket",
-            F.when(F.col("latency_ms") < 100, "fast")
-            .when(F.col("latency_ms") < 1000, "medium")
-            .otherwise("slow"),
-        )
-        .select("conv_id", "turn_idx", "status", "latency_ms", "lat_bucket")
+    """Driven from actual SPL TEXT through the front-end
+    (ProcessorSPL.cpp:113-154, plans/spl.py): the piped string
+    compiles to parse-regexp (dissect fast path) → where → extend →
+    project, identical output to the hand-written chain."""
+    from ilogtail_spark.plans.spl import spl_transform
+    from ilogtail_spark.sources.transcripts import GROK_PATTERN
+
+    spl = (
+        f"* | parse-regexp text, 'invoke {GROK_PATTERN}' as "
+        "tool_call, status, latency_ms, method, url, err\n"
+        "| where role = 'assistant' and __parse_ok__\n"
+        "| extend status = cast(status as int), "
+        "latency_ms = cast(latency_ms as int)\n"
+        "| extend lat_bucket = case when latency_ms < 100 then 'fast' "
+        "when latency_ms < 1000 then 'medium' else 'slow' end\n"
+        "| project conv_id, turn_idx, status, latency_ms, lat_bucket"
     )
+    return spl_transform(spl)(derive_transcripts(spark, sf))
 
 
 def _q_json_parse(spark: SparkSession, sf: str) -> DataFrame:
@@ -730,6 +736,44 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_dictmap_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_dict_map DictFilePath mode
+    (processor_dict_map.go:96-135): the lookup loads from a 2-column
+    CSV through the registry (MaxDictSize + hash-crash checks), then
+    broadcast-joins as usual."""
+    import os
+    import tempfile
+
+    from ilogtail_spark.plans.pipeline import build_pipeline
+    from ilogtail_spark.sources.transcripts import GROK_FIELDS, GROK_PATTERN
+
+    path = os.path.join(tempfile.gettempdir(), "ilogtail_spark_dict_q46.csv")
+    with open(path, "w") as fh:
+        fh.write("bash,shell\nread,fs\nwrite,fs\nsearch,net\n")
+    chain = build_pipeline(
+        [
+            {
+                "type": "processor_parse_dissect",
+                "Regex": GROK_PATTERN,
+                "Keys": GROK_FIELDS,
+                "SourceKey": "text",
+                "KeepSource": True,
+            },
+            {
+                "type": "processor_dict_map",
+                "DictFilePath": path,
+                "MaxDictSize": 100,
+                "SourceKey": "tool_call",
+                "DestKey": "tool_family",
+            },
+        ]
+    )
+    out = chain(derive_transcripts(spark, sf))
+    return out.filter(F.col(PARSE_OK_KEY)).groupBy("tool_family").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 def _q_desensitize_md5(spark: SparkSession, sf: str) -> DataFrame:
     """processor_desensitize Method=md5 Match=regex
     (processor_desensitize.go:146-184): EVERY '=<digits>' region gets
@@ -800,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_container_log": _q_container_log,
         "q44_multiline_end": _q_multiline_end,
         "q45_desensitize_md5": _q_desensitize_md5,
+        "q46_dictmap_csv": _q_dictmap_csv,
     }
 
 
@@ -1182,6 +1227,12 @@ def oracle_sql() -> dict[str, str]:
              AND NOT regexp_matches(err, '-')
              AND regexp_matches(url, '/api/v[12]/.*')
            GROUP BY method, err""",
+        "q46_dictmap_csv": PARSED_CTE
+        + """SELECT CASE tool_call WHEN 'bash' THEN 'shell'
+                  WHEN 'read' THEN 'fs' WHEN 'write' THEN 'fs'
+                  WHEN 'search' THEN 'net' ELSE 'Unknown' END AS tool_family,
+                CAST(count(*) AS BIGINT) AS n_rows
+             FROM parsed WHERE parse_ok GROUP BY 1""",
         "q45_desensitize_md5": TRANSCRIPTS_CTE
         + r""",
            x AS (

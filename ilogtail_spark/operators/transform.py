@@ -86,6 +86,34 @@ def dict_map(
     return out.withColumn(dest, mapped).drop("_dm_val")
 
 
+def load_dict_csv(path: str, max_dict_size: int = 1000) -> dict[str, str]:
+    """processor_dict_map DictFilePath loader
+    (processor_dict_map.go:96-135): 2-column CSV, at most
+    ``max_dict_size`` entries, duplicate keys with CONFLICTING values
+    are a hash-crash error (re-stating the same mapping is fine).
+    Driver-side read — the dict is broadcast-sized by contract."""
+    import csv
+
+    mapping: dict[str, str] = {}
+    with open(path, newline="") as fh:
+        reader = csv.reader(fh)
+        for i, row in enumerate(reader):
+            if len(mapping) >= max_dict_size:
+                break
+            if len(row) != 2:
+                raise ValueError(f"dict_map: row {i + 1} length is not 2: {row!r}")
+            k, v = row
+            if k in mapping and mapping[k] != v:
+                raise ValueError(
+                    f"dict_map: hash crash, key {k!r} redefined "
+                    f"({mapping[k]!r} vs {v!r})"
+                )
+            mapping[k] = v
+    if not mapping:
+        raise ValueError(f"dict_map: empty file {path}")
+    return mapping
+
+
 def string_replace(
     df: DataFrame,
     source: str,
@@ -488,20 +516,36 @@ def _l2m_factory(**cfg):
 
 @register("processor_dict_map")
 def _dictmap_factory(**cfg):
-    """Inline-dict variant (processor_dict_map.go:30-41): MapDict is a
-    literal {value: mapped} dict in the config; the lookup DataFrame
-    is built from it at plan time and broadcast."""
-    mapping = cfg.get("MapDict", cfg.get("mapping"))
+    """processor_dict_map (processor_dict_map.go:30-41,96-135): the
+    mapping comes from an inline MapDict and/or a DictFilePath CSV
+    (CSV entries merge into MapDict with hash-crash checks, capped at
+    MaxDictSize); the lookup DataFrame is built at plan time and
+    broadcast."""
+    mapping = dict(cfg.get("MapDict", cfg.get("mapping")) or {})
+    dict_path = cfg.get("DictFilePath", cfg.get("dict_file_path"))
+    max_size = int(cfg.get("MaxDictSize", cfg.get("max_dict_size", 1000)))
+    if dict_path:
+        loaded = load_dict_csv(dict_path, max_dict_size=max_size)
+        for k, v in loaded.items():
+            if k in mapping and mapping[k] != v:
+                raise ValueError(f"dict_map: hash crash on key {k!r}")
+            mapping[k] = v
+    if not mapping:
+        raise ValueError("dict_map: need MapDict or DictFilePath")
     source = cfg.get("SourceKey", cfg.get("source"))
     dest = cfg.get("DestKey", cfg.get("dest", source))
     missing = cfg.get("Missing", cfg.get("missing", "Unknown"))
     mode = cfg.get("Mode", cfg.get("mode", "fill"))
+    handle_missing = cfg.get("HandleMissing", cfg.get("handle_missing", True))
 
     def run(df):
         lookup = df.sparkSession.createDataFrame(
             list(mapping.items()), ["_k", "_v"]
         )
-        return dict_map(df, lookup, source, dest, missing=missing, mode=mode)
+        return dict_map(
+            df, lookup, source, dest,
+            handle_missing=handle_missing, missing=missing, mode=mode,
+        )
 
     return run
 

@@ -1,0 +1,336 @@
+"""SPL text front-end (SURVEY.md §2.10).
+
+The reference's declarative layer is a piped query string compiled
+per pipeline (core/plugin/processor/ProcessorSPL.cpp:113-154); its
+operator surface is exercised in core/unittest/spl/SplUnittest.cpp:
+``where``, ``extend``, ``project``/``project-away``/``project-rename``,
+``parse-json``, ``parse-csv``, ``parse-regexp``, ``parse-kv``
+(:78-650), and ``.let``-bound multi-branch scripts (:562-650).
+
+Here an SPL string compiles to a DataFrame transform: each stage maps
+onto the corresponding registry operator / Catalyst expression, so
+the optimizer sees the whole chain (filters push down through the
+parse stages' column projections exactly as with hand-written
+DataFrame code).
+
+Dynamic-key parsers (``parse-json`` / ``parse-kv`` without explicit
+keys): the reference emits per-row dynamic contents; a columnar
+schema must be static, so the compiled stage INFERS the key set with
+one distinct-keys aggregation over the input at materialization time
+(exact, one extra job — at very large scale give explicit keys via
+``parse-csv``/``parse-regexp`` instead).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.operators.parse import ParserOptions
+
+Transform = Callable[[DataFrame], DataFrame]
+
+_OPENERS = {"(": ")", "[": "]", "{": "}"}
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at nesting depth 0, outside quotes."""
+    parts, buf, depth, quote = [], [], 0, None
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            buf.append(ch)
+            if ch == "\\" and i + 1 < len(s):
+                buf.append(s[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in _OPENERS:
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]}":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _unquote(s: str) -> str:
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
+    return s
+
+
+# SPL scalar functions → Spark SQL equivalents (pass-through otherwise)
+_FN_MAP = {"json_extract": "get_json_object", "json_extract_string": "get_json_object"}
+
+
+def _translate_expr(expr: str) -> str:
+    for spl, spark in _FN_MAP.items():
+        expr = re.sub(rf"\b{spl}\s*\(", f"{spark}(", expr)
+    return expr
+
+
+def _infer_map_keys(df: DataFrame, mapcol) -> list[str]:
+    rows = (
+        df.select(F.explode(F.map_keys(mapcol)).alias("k")).distinct().collect()
+    )
+    return sorted(r["k"] for r in rows)
+
+
+def _expand_map(df: DataFrame, mapcol_name: str) -> DataFrame:
+    keys = _infer_map_keys(df, F.col(mapcol_name))
+    for k in keys:
+        df = df.withColumn(k, F.element_at(F.col(mapcol_name), k))
+    return df.drop(mapcol_name)
+
+
+# ---------------------------------------------------------------------------
+# stage compilers
+# ---------------------------------------------------------------------------
+
+def _stage_where(rest: str) -> Transform:
+    expr = _translate_expr(rest.strip())
+    return lambda df: df.filter(F.expr(expr))
+
+
+def _stage_extend(rest: str) -> Transform:
+    assigns = []
+    for part in _split_top(rest, ","):
+        m = re.match(r'\s*("?[\w:.]+"?)\s*=\s*(.*)$', part, re.S)
+        if not m:
+            raise ValueError(f"SPL extend: bad assignment {part!r}")
+        assigns.append((_unquote(m.group(1)), _translate_expr(m.group(2).strip())))
+
+    def run(df):
+        for name, expr in assigns:
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
+    return run
+
+
+def _stage_project(rest: str) -> Transform:
+    cols = [_unquote(c) for c in _split_top(rest, ",")]
+    return lambda df: df.select(*cols)
+
+
+def _stage_project_away(rest: str) -> Transform:
+    cols = [_unquote(c) for c in _split_top(rest, ",")]
+    return lambda df: df.drop(*cols)
+
+
+def _stage_project_rename(rest: str) -> Transform:
+    renames = []
+    for part in _split_top(rest, ","):
+        m = re.match(r'\s*("?[^="]+"?)\s*=\s*("?[\w:.]+"?)\s*$', part)
+        if not m:
+            raise ValueError(f"SPL project-rename: bad clause {part!r}")
+        renames.append((_unquote(m.group(2)), _unquote(m.group(1))))  # old -> new
+
+    def run(df):
+        for old, new in renames:
+            df = df.withColumnRenamed(old, new)
+        return df
+
+    return run
+
+
+def _stage_parse_json(rest: str) -> Transform:
+    col = rest.strip()
+
+    def run(df):
+        tmp = f"_spl_json_{col}"
+        df = df.withColumn(tmp, F.from_json(F.col(col), "map<string,string>"))
+        return _expand_map(df, tmp)
+
+    return run
+
+
+def _stage_parse_csv(rest: str) -> Transform:
+    m = re.match(r"\s*(\w+)\s+as\s+(.*)$", rest, re.S)
+    if not m:
+        raise ValueError(f"SPL parse-csv: expected '<col> as k1, k2' in {rest!r}")
+    col = m.group(1)
+    fields = [c.strip() for c in _split_top(m.group(2), ",")]
+
+    def run(df):
+        from ilogtail_spark.operators.parse import parse_delimiter
+
+        return parse_delimiter(
+            df, fields, source=col, sep=",", quote='"',
+            allow_shortened=True, options=ParserOptions(keep_source=True),
+        )
+
+    return run
+
+
+def _stage_parse_regexp(rest: str) -> Transform:
+    m = re.match(
+        r"\s*(\w+)\s*,\s*'((?:[^'\\]|\\.)*)'\s+as\s+(.*)$", rest, re.S
+    )
+    if not m:
+        raise ValueError(
+            f"SPL parse-regexp: expected \"<col>, '<pat>' as k1, k2\" in {rest!r}"
+        )
+    col, pat = m.group(1), m.group(2)
+    fields = [c.strip() for c in _split_top(m.group(3), ",")]
+
+    def run(df):
+        from ilogtail_spark.operators.parse import parse_dissect
+
+        # dissect-compilable patterns take the structural fast path,
+        # everything else falls back to the regex engine inside
+        return parse_dissect(
+            df, pat, fields, source=col, options=ParserOptions(keep_source=True)
+        )
+
+    return run
+
+
+def _stage_parse_kv(rest: str) -> Transform:
+    rest = rest.strip()
+    m = re.match(r"-delims\s*=\s*('[^']*'|\S+)\s+(\w+)\s*$", rest)
+    if m:
+        delims = _unquote(m.group(1))
+        col = m.group(2)
+        pair_sep = "[" + re.escape(delims) + "]"
+
+        def run(df):
+            tmp = f"_spl_kv_{col}"
+            df = df.withColumn(
+                tmp, F.str_to_map(F.col(col), F.lit(pair_sep), F.lit("="))
+            )
+            return _expand_map(df, tmp)
+
+        return run
+    m = re.match(r"-regexp\s+(\w+)\s*,\s*'((?:[^'\\]|\\.)*)'\s*$", rest)
+    if m:
+        col, pat = m.group(1), m.group(2)
+
+        def run(df):
+            tmp = f"_spl_kv_{col}"
+            keys = F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(1))
+            vals = F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(2))
+            df = df.withColumn(tmp, F.map_from_arrays(keys, vals))
+            return _expand_map(df, tmp)
+
+        return run
+    col = rest
+
+    def run(df):
+        tmp = f"_spl_kv_{col}"
+        df = df.withColumn(tmp, F.str_to_map(F.col(col), F.lit("&"), F.lit("=")))
+        return _expand_map(df, tmp)
+
+    return run
+
+
+_STAGES = {
+    "where": _stage_where,
+    "extend": _stage_extend,
+    "project": _stage_project,
+    "project-away": _stage_project_away,
+    "project-rename": _stage_project_rename,
+    "parse-json": _stage_parse_json,
+    "parse-csv": _stage_parse_csv,
+    "parse-regexp": _stage_parse_regexp,
+    "parse-kv": _stage_parse_kv,
+}
+
+
+def _compile_stage(stage_text: str) -> Transform:
+    stage_text = stage_text.strip()
+    m = re.match(r"([a-z-]+)\s*(.*)$", stage_text, re.S)
+    if not m or m.group(1) not in _STAGES:
+        raise ValueError(f"SPL: unknown stage {stage_text.split()[0]!r}")
+    return _STAGES[m.group(1)](m.group(2))
+
+
+def _compile_pipeline(segments: list[str]) -> tuple[str, Transform]:
+    """(input ref, composed transform) for one `* | a | b` pipeline."""
+    head = segments[0].strip()
+    if head != "*" and not head.startswith("$"):
+        raise ValueError(f"SPL: pipeline must start with * or $ref, got {head!r}")
+    stages = [_compile_stage(s) for s in segments[1:]]
+
+    def run(df):
+        for st in stages:
+            df = st(df)
+        return df
+
+    return head, run
+
+
+def spl_transform(spl: str) -> Transform:
+    """Compile a single-pipeline SPL string (``* | …``) to a
+    DataFrame transform."""
+    outs = spl_compile(spl)
+    if len(outs) != 1:
+        raise ValueError(f"SPL: expected one output pipeline, got {len(outs)}")
+    return outs[0]
+
+
+def spl_compile(spl: str) -> list[Transform]:
+    """Compile a full SPL script — possibly with ``.let name = …``
+    bindings and ``$name`` output statements — into one transform per
+    OUTPUT branch (SplUnittest.cpp:562-650 multi-parse shape). Each
+    transform takes the input DataFrame that ``*`` denotes."""
+    lets: dict[str, tuple[str, Transform]] = {}
+    outputs: list[tuple[str, Transform]] = []
+    for stmt in _split_top(spl, ";"):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        m = re.match(r"\.let\s+(\w+)\s*=\s*(.*)$", stmt, re.S)
+        if m:
+            name, body = m.group(1), m.group(2)
+            lets[name] = _compile_pipeline(_split_top(body, "|"))
+            continue
+        if re.fullmatch(r"\$\w+", stmt):
+            outputs.append((stmt, lambda df: df))
+            continue
+        outputs.append(_compile_pipeline(_split_top(stmt, "|")))
+
+    def resolve(ref: str, tail: Transform) -> Transform:
+        chain: list[Transform] = [tail]
+        while ref != "*":
+            src, tr = lets[ref[1:]]
+            chain.append(tr)
+            ref = src
+
+        def run(df):
+            for tr in reversed(chain):
+                df = tr(df)
+            return df
+
+        return run
+
+    return [resolve(ref, tr) for ref, tr in outputs]
+
+
+from ilogtail_spark.operators.registry import register  # noqa: E402
+
+
+@register("processor_spl")
+def _spl_factory(**cfg):
+    """ProcessorSPL (ProcessorSPL.cpp:113-154): config carries the SPL
+    Script; multi-output scripts yield the FIRST branch here (use
+    spl_compile directly for fan-out)."""
+    script = cfg.get("Script", cfg.get("script"))
+    return spl_compile(script)[0]

@@ -1,0 +1,95 @@
+"""SPL text front-end goldens mirroring core/unittest/spl/
+SplUnittest.cpp shapes (where :93, extend :152, parse-json :199,
+parse-regexp :268, parse-csv :339, parse-kv :415, project-rename
+:490, .let multi-branch :562-650)."""
+
+from ilogtail_spark.plans.spl import spl_compile, spl_transform
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_spl_where(spark):
+    df = _df(spark, [("value_3_0",), ("other",)], "content string")
+    out = spl_transform("* | where content='value_3_0'")(df)
+    assert [r["content"] for r in out.collect()] == ["value_3_0"]
+
+
+def test_spl_extend_json_extract(spark):
+    df = _df(spark, [('{"body": {"a": "1", "b": "2"}}',)], "content string")
+    out = spl_transform(
+        "* | extend a=json_extract(content, '$.body.a'), "
+        "b=json_extract(content, '$.body.b')"
+    )(df).first()
+    assert out["a"] == "1" and out["b"] == "2"
+
+
+def test_spl_parse_regexp(spark):
+    df = _df(spark, [("10.0.0.0 GET /index.html 15824 0.043",)], "content string")
+    out = spl_transform(
+        r"* | parse-regexp content, '(\S+)\s+(\w+)' as ip, method"
+    )(df).first()
+    assert out["ip"] == "10.0.0.0" and out["method"] == "GET"
+
+
+def test_spl_parse_csv(spark):
+    df = _df(spark, [("a,b,c",)], "content string")
+    out = spl_transform("* | parse-csv content as x, y, z")(df).first()
+    assert (out["x"], out["y"], out["z"]) == ("a", "b", "c")
+
+
+def test_spl_parse_kv_regexp(spark):
+    df = _df(spark, [("k1=v1&k2=v2?k3=v3",)], "content string")
+    out = spl_transform(r"* | parse-kv -regexp content, '(\w+)=(\w+)'")(df).first()
+    assert (out["k1"], out["k2"], out["k3"]) == ("v1", "v2", "v3")
+
+
+def test_spl_project_rename_tag(spark):
+    df = _df(spark, [('{"a1": "x"}',)], "content string")
+    out = spl_transform(
+        '* | parse-json content | project-rename "__tag__:taiye2"=a1'
+    )(df).first()
+    assert out["__tag__:taiye2"] == "x"
+
+
+def test_spl_project_and_away(spark):
+    df = _df(spark, [(1, 2, 3)], "a int, b int, c int")
+    assert spl_transform("* | project a, b")(df).columns == ["a", "b"]
+    assert spl_transform("* | project-away b")(df).columns == ["a", "c"]
+
+
+def test_spl_let_multi_branch(spark):
+    """SplUnittest.cpp:562-650 TestMultiParse: one parsed source fans
+    out into a kv branch and a csv branch."""
+    rows = [
+        ('{"type":"kv","message":"k1=v1&k2=v2?k3=v3"}',),
+        ('{"type":"csv","message":"a,b,c"}',),
+    ]
+    df = _df(spark, rows, "content string")
+    script = """
+.let src = * | parse-json content;
+.let ds1 = $src | where type = 'kv' | parse-kv -delims='&?' message;
+$ds1;
+.let ds2 = $src | where type = 'csv' | parse-csv message as x, y, z;
+$ds2;
+"""
+    branches = spl_compile(script)
+    assert len(branches) == 2
+    kv = branches[0](df).collect()
+    assert len(kv) == 1
+    assert (kv[0]["k1"], kv[0]["k2"], kv[0]["k3"]) == ("v1", "v2", "v3")
+    csv = branches[1](df).collect()
+    assert len(csv) == 1
+    assert (csv[0]["x"], csv[0]["y"], csv[0]["z"]) == ("a", "b", "c")
+
+
+def test_spl_registry_factory(spark):
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    df = _df(spark, [("a,b,c",), ("d,e,f",)], "content string")
+    fn = OPERATORS["processor_spl"](
+        Script="* | parse-csv content as x, y, z | where x = 'a' | project x, z"
+    )
+    rows = fn(df).collect()
+    assert len(rows) == 1 and rows[0]["z"] == "c"

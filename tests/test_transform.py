@@ -128,3 +128,45 @@ def test_desensitize_const_region_all_occurrences(spark):
         regex_begin=r"=", regex_content=r"\d+",
     ).first()
     assert out["text"] == "a=*** b=***"
+
+
+def test_load_dict_csv_contract(tmp_path):
+    """processor_dict_map.go:96-135: 2-col CSV, MaxDictSize cap,
+    hash-crash on conflicting redefinition, empty-file error."""
+    import pytest
+
+    from ilogtail_spark.operators.transform import load_dict_csv
+
+    p = tmp_path / "d.csv"
+    p.write_text("a,1\nb,2\na,1\n")  # same-value restate is fine
+    assert load_dict_csv(str(p)) == {"a": "1", "b": "2"}
+
+    p.write_text("a,1\na,2\n")
+    with pytest.raises(ValueError, match="hash crash"):
+        load_dict_csv(str(p))
+
+    p.write_text("a,1,extra\n")
+    with pytest.raises(ValueError, match="length is not 2"):
+        load_dict_csv(str(p))
+
+    p.write_text("")
+    with pytest.raises(ValueError, match="empty file"):
+        load_dict_csv(str(p))
+
+    p.write_text("a,1\nb,2\nc,3\n")
+    assert load_dict_csv(str(p), max_dict_size=2) == {"a": "1", "b": "2"}
+
+
+def test_dictmap_csv_factory(spark, tmp_path):
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    p = tmp_path / "roles.csv"
+    p.write_text("user,human\nassistant,model\n")
+    fn = OPERATORS["processor_dict_map"](
+        DictFilePath=str(p), SourceKey="role", DestKey="role_class"
+    )
+    df = spark.createDataFrame(
+        [("a", "user"), ("b", "robot")], ["id", "role"]
+    )
+    out = {r["id"]: r["role_class"] for r in fn(df).collect()}
+    assert out == {"a": "human", "b": "Unknown"}
