@@ -471,7 +471,14 @@ def _q_fields_with_condition(spark: SparkSession, sf: str) -> DataFrame:
         df,
         [
             {
-                "when": {"field": "status_s", "op": "startwith", "value": "5"},
+                # reference ConditionCase shape: LogicalOperator joins
+                # several FieldConditions under one RelationOperator
+                # (processor_fields_with_condition.go:66-74)
+                "when": {
+                    "logical_op": "and",
+                    "op": "regexp",
+                    "fields": {"status_s": "^5\\d\\d$", "err": "^E\\d+$"},
+                },
                 "add": {"severity": "server_error"},
             },
             {
@@ -1136,7 +1143,8 @@ def oracle_sql() -> dict[str, str]:
         "q28_embedding_neardup": _neardup_oracle(),
         "q30_fields_with_condition": PARSED_CTE
         + r"""SELECT CASE
-                WHEN starts_with(CAST(status AS VARCHAR), '5') THEN 'server_error'
+                WHEN regexp_matches(CAST(status AS VARCHAR), '^5\d\d$')
+                     AND regexp_matches(err, '^E\d+$') THEN 'server_error'
                 WHEN starts_with(CAST(status AS VARCHAR), '4') THEN 'client_error'
                 WHEN regexp_matches(CAST(status AS VARCHAR), '^2\d\d$') THEN 'ok'
                 END AS severity,

@@ -128,6 +128,55 @@ def window_histogram(
     return df.groupBy(bucket, *keys).agg(F.count(F.lit(1)).alias(count_alias))
 
 
+def metadata_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    max_events: int = 1024,
+    max_bytes: int = 3 * 1024 * 1024,
+    size_col: str | None = None,
+    order_col: str | None = None,
+    pack_col: str = "__pack_id__",
+) -> DataFrame:
+    """aggregator_metadata_group
+    (aggregator_metadata_group.go:28-36,62-110): group events by
+    metadata keys; a group flushes a pack whenever it holds
+    maxEventsLength events or maxEventsByteLength bytes.
+
+    Batch rendering: every row gets a ``__pack_id__`` =
+    md5(keys)-chunk, where chunk advances when EITHER the running
+    event count crosses ``max_events`` or the running byte size
+    (``size_col``'s octet_length) crosses ``max_bytes``. The byte
+    chunking uses a global running sum rather than reset-on-flush, so
+    a pack may exceed max_bytes by at most one event — the bounded-
+    pack intent holds exactly for events and to within one event for
+    bytes. One window over (keys) — metadata keys are coarse
+    (host/source tags), so no hot-key salting is needed here; the
+    per-pack payload is what the caps bound.
+    """
+    from pyspark.sql import Window
+
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    w = Window.partitionBy(*keys).orderBy(order)
+    rn = F.row_number().over(w)
+    chunk = F.floor((rn - 1) / F.lit(max_events))
+    if size_col is not None:
+        cum_before = F.coalesce(
+            F.sum(F.octet_length(F.col(size_col))).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        chunk = F.greatest(chunk, F.floor(cum_before / F.lit(max_bytes)))
+    return df.withColumn(
+        pack_col,
+        F.concat_ws(
+            "-",
+            F.md5(F.concat_ws("\x1f", *[F.col(k) for k in keys])),
+            chunk.cast("string"),
+        ),
+    )
+
+
 def pack_id(df: DataFrame, pack_col: str = "__pack_id__") -> DataFrame:
     """aggregator_base __pack_id__ (aggregator_base.go:93-139):
     prefix+sequence lineage id ≈ (partition id, per-partition seq)."""
@@ -169,6 +218,21 @@ def _shard_factory(**cfg):
 @register("aggregator_content_value_group")
 def _cvg_factory(**cfg):
     return lambda df: content_value_group(df, keys=cfg.get("GroupKeys", cfg.get("keys")))
+
+
+@register("aggregator_metadata_group")
+def _mdg_factory(**cfg):
+    keys = cfg.get("GroupMetadataKeys", cfg.get("keys"))
+    return lambda df: metadata_group(
+        df,
+        keys,
+        max_events=int(cfg.get("GroupMaxEventLength", cfg.get("max_events", 1024))),
+        max_bytes=int(
+            cfg.get("GroupMaxByteLength", cfg.get("max_bytes", 3 * 1024 * 1024))
+        ),
+        size_col=cfg.get("size_col"),
+        order_col=cfg.get("order_col"),
+    )
 
 
 @register("aggregator_base")

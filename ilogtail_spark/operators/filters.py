@@ -107,6 +107,43 @@ def filter_timestamp(
     return df.filter(cond)
 
 
+def _fwc_leaf(field: str, op: str, value) -> Column:
+    c = F.col(field)
+    if op == "equals":
+        return c == value
+    if op == "regexp":
+        return c.rlike(value)
+    if op == "contains":
+        return c.contains(value)
+    if op == "startwith":
+        return c.startswith(value)
+    raise ValueError(op)
+
+
+def _fwc_pred(w: dict) -> Column:
+    """Case predicate: legacy leaf {"field","op","value"}, nested
+    {"and": [...]}/{"or": [...]}, or the reference's ConditionCase
+    shape {"logical_op": and|or, "op": relation, "fields": {f: v}}
+    (processor_fields_with_condition.go:66-74: one RelationOperator
+    applied to every FieldConditions pair, joined by LogicalOperator).
+    """
+    if "and" in w or "or" in w:
+        key = "and" if "and" in w else "or"
+        out = F.lit(key == "and")
+        for child in w[key]:
+            out = (out & _fwc_pred(child)) if key == "and" else (out | _fwc_pred(child))
+        return out
+    if "fields" in w:
+        op = w.get("op", w.get("RelationOperator", "equals"))
+        logical = w.get("logical_op", w.get("LogicalOperator", "and"))
+        out = F.lit(logical == "and")
+        for f, v in w["fields"].items():
+            leaf = _fwc_leaf(f, op, v)
+            out = (out & leaf) if logical == "and" else (out | leaf)
+        return out
+    return _fwc_leaf(w["field"], w.get("op", "equals"), w["value"])
+
+
 def fields_with_condition(
     df: DataFrame,
     cases: list[dict],
@@ -114,47 +151,70 @@ def fields_with_condition(
 ) -> DataFrame:
     """processor_fields_with_condition
     (processor_fields_with_condition.go:43-74,296): switch-case — the
-    first case whose predicate matches applies its add-fields action.
+    first case whose predicate matches applies its actions.
 
-    Each case: {"when": {"field": ..., "op": equals|regexp|contains|startwith,
-    "value": ...}, "add": {k: v, ...}}. Compiled to chained
-    when().otherwise() columns — one pass, no UDF.
+    Each case: {"when": <predicate — see _fwc_pred>,
+    "add": {k: v, ...}, "ignore_if_exist": bool,
+    "drop_keys": [k, ...]}. One `_fwc_win` first-match index drives
+    every action column — a single codegen pass, no UDF. drop_keys
+    nulls the column on matching rows (the columnar rendering of the
+    reference's per-row key removal).
     """
-
-    def pred(w: dict) -> Column:
-        c, op, v = F.col(w["field"]), w.get("op", "equals"), w["value"]
-        if op == "equals":
-            return c == v
-        if op == "regexp":
-            return c.rlike(v)
-        if op == "contains":
-            return c.contains(v)
-        if op == "startwith":
-            return c.startswith(v)
-        raise ValueError(op)
+    win: Column = F.lit(-1)
+    for i in range(len(cases) - 1, -1, -1):
+        win = F.when(_fwc_pred(cases[i]["when"]), F.lit(i)).otherwise(win)
+    df = df.withColumn("_fwc_win", win)
 
     add_keys = sorted({k for case in cases for k in case.get("add", {})})
-    matched: Column = F.lit(False)
-    for case in cases:
-        matched = matched | pred(case["when"])
     for k in add_keys:
-        col: Column = F.col(k) if k in df.columns else F.lit(None).cast("string")
-        # build the when-chain in case order (first match wins)
-        chain = None
-        for case in cases:
-            if k in case.get("add", {}):
-                branch = (pred(case["when"]), F.lit(case["add"][k]))
-                chain = [branch] if chain is None else chain + [branch]
-        expr = col
-        if chain:
-            expr = F.when(chain[0][0], chain[0][1])
-            for c_, v_ in chain[1:]:
-                expr = expr.when(c_, v_)
-            expr = expr.otherwise(col)
+        base: Column = F.col(k) if k in df.columns else F.lit(None).cast("string")
+        expr = base
+        for i, case in enumerate(cases):
+            if k not in case.get("add", {}):
+                continue
+            if case.get("ignore_if_exist") and k in df.columns:
+                continue
+            expr = F.when(F.col("_fwc_win") == i, F.lit(case["add"][k])).otherwise(expr)
         df = df.withColumn(k, expr)
+
+    drop_keys = sorted({k for case in cases for k in case.get("drop_keys", [])})
+    for k in drop_keys:
+        if k not in df.columns:
+            continue
+        dropping = [i for i, c in enumerate(cases) if k in c.get("drop_keys", [])]
+        df = df.withColumn(
+            k,
+            F.when(F.col("_fwc_win").isin(dropping), F.lit(None)).otherwise(F.col(k)),
+        )
     if drop_if_not_match:
-        df = df.filter(matched)
-    return df
+        df = df.filter(F.col("_fwc_win") >= 0)
+    return df.drop("_fwc_win")
+
+
+def group_info_filter(
+    df: DataFrame,
+    tags: dict | None = None,
+    metas: dict | None = None,
+    tag_prefix: str = "__tag__",
+) -> DataFrame:
+    """extension_group_info_filter (group_info_filter.go:29-42,78+):
+    keep only groups whose tags/metas match every configured regex
+    condition; ``Reverse`` inverts a condition. Tags live in
+    ``__tag__<k>`` columns (tag_native), metas in plain columns.
+    Conditions: {key: pattern} or {key: {"pattern": p, "reverse": b}}.
+    """
+    cond = F.lit(True)
+    for source, prefix in ((tags, tag_prefix), (metas, "")):
+        for k, c in (source or {}).items():
+            pattern = c["pattern"] if isinstance(c, dict) else c
+            reverse = c.get("reverse", False) if isinstance(c, dict) else False
+            colname = f"{prefix}{k}"
+            if colname in df.columns:
+                m = F.col(colname).isNotNull() & F.col(colname).rlike(pattern)
+            else:
+                m = F.lit(False)
+            cond = cond & (~m if reverse else m)
+    return df.filter(cond)
 
 
 def rate_limit(
@@ -244,3 +304,11 @@ def _rl_factory(**cfg):
     keys = cfg_pop(cfg, "Fields", "keys")
     limit = cfg_pop(cfg, "Limit", "limit_per_key")
     return lambda df: rate_limit(df, keys, int(limit))
+
+
+@register("extension_group_info_filter")
+@register("group_info_filter")
+def _gif_factory(**cfg):
+    tags = cfg_pop(cfg, "Tags", "tags", default=None)
+    metas = cfg_pop(cfg, "Metas", "metas", default=None)
+    return lambda df: group_info_filter(df, tags=tags, metas=metas)

@@ -82,3 +82,45 @@ def test_window_histogram(spark):
     }
     assert out[("2024-01-01T10:00:00", "bash")] == 2
     assert out[("2024-01-01T11:00:00", "read")] == 1
+
+
+def test_metadata_group_caps(spark):
+    """aggregator_metadata_group: packs bounded by max_events and
+    (to within one event) max_bytes."""
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.operators.agg import metadata_group
+
+    rows = [("h1", i, "x" * 100) for i in range(25)] + [("h2", i, "y" * 100) for i in range(3)]
+    df = spark.createDataFrame(rows, "host string, seq int, payload string")
+    out = metadata_group(
+        df, ["host"], max_events=10, max_bytes=100_000, order_col="seq"
+    )
+    sizes = {
+        (r["host"], r["__pack_id__"]): r["n"]
+        for r in out.groupBy("host", "__pack_id__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    h1 = sorted(v for (h, _), v in sizes.items() if h == "h1")
+    assert h1 == [5, 10, 10]  # 25 events → 10+10+5
+    assert sorted(v for (h, _), v in sizes.items() if h == "h2") == [3]
+
+    # bytes cap: 100-byte payloads, max 350 bytes → packs of <=4 events
+    out2 = metadata_group(
+        df.filter("host='h1'"), ["host"], max_events=1000, max_bytes=350,
+        size_col="payload", order_col="seq",
+    )
+    counts = [
+        r["n"] for r in out2.groupBy("__pack_id__").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert max(counts) <= 4
+
+
+def test_metadata_group_registry(spark):
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, v int")
+    fn = OPERATORS["aggregator_metadata_group"](
+        GroupMetadataKeys=["k"], GroupMaxEventLength=1, order_col="v"
+    )
+    out = fn(df)
+    assert out.select("__pack_id__").distinct().count() == 3

@@ -112,3 +112,80 @@ def test_rate_limit_deskewed_phase1(spark):
     ]
     assert len(sizes) == 32
     assert max(sizes) <= 2 * (sum(sizes) / len(sizes))
+
+
+def test_fwc_compound_and_or(spark):
+    """ConditionCase and/or sub-conditions
+    (processor_fields_with_condition.go:66-74)."""
+    from ilogtail_spark.operators.filters import fields_with_condition
+
+    df = spark.createDataFrame(
+        [("500", "E500"), ("500", "-"), ("404", "-"), ("200", "-")],
+        "status string, err string",
+    )
+    out = fields_with_condition(
+        df,
+        [
+            {
+                "when": {
+                    "logical_op": "and",
+                    "op": "regexp",
+                    "fields": {"status": "^5..$", "err": "^E"},
+                },
+                "add": {"sev": "server_error"},
+            },
+            {
+                "when": {
+                    "logical_op": "or",
+                    "op": "startwith",
+                    "fields": {"status": "4", "err": "E"},
+                },
+                "add": {"sev": "client_or_err"},
+            },
+        ],
+    )
+    got = {(r["status"], r["err"]): r["sev"] for r in out.collect()}
+    assert got == {
+        ("500", "E500"): "server_error",  # first match wins
+        ("500", "-"): None,
+        ("404", "-"): "client_or_err",
+        ("200", "-"): None,
+    }
+
+
+def test_fwc_drop_keys_and_ignore_if_exist(spark):
+    from ilogtail_spark.operators.filters import fields_with_condition
+
+    df = spark.createDataFrame(
+        [("a", "secret", "x"), ("b", "public", "y")],
+        "id string, payload string, sev string",
+    )
+    out = fields_with_condition(
+        df,
+        [
+            {
+                "when": {"field": "payload", "op": "equals", "value": "secret"},
+                "add": {"sev": "red"},
+                "ignore_if_exist": True,  # sev pre-exists → keep it
+                "drop_keys": ["payload"],
+            }
+        ],
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows["a"]["payload"] is None and rows["b"]["payload"] == "public"
+    assert rows["a"]["sev"] == "x"  # IgnoreIfExist honored
+
+
+def test_group_info_filter(spark):
+    from ilogtail_spark.operators.filters import group_info_filter
+    from ilogtail_spark.operators.transform import tag_native
+
+    df = tag_native(
+        spark.createDataFrame([(1,), (2,)], "id int"), {"env": "prod"}
+    )
+    kept = group_info_filter(df, tags={"env": "pro.*"})
+    assert kept.count() == 2
+    dropped = group_info_filter(df, tags={"env": {"pattern": "pro.*", "reverse": True}})
+    assert dropped.count() == 0
+    missing = group_info_filter(df, tags={"region": "us.*"})
+    assert missing.count() == 0  # absent tag fails a positive condition
