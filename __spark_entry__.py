@@ -743,6 +743,33 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_split_char_quoted(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_split_char with QuoteFlag (split_char.go:34-184):
+    quoted values embed the separator; remainder beyond SplitKeys
+    lands raw in _split_preserve_ (PreserveOthers)."""
+    from ilogtail_spark.operators.split import split_char
+
+    li = load_table(spark, sf, "lineitem").withColumn(
+        "line",
+        F.concat(
+            F.col("l_orderkey").cast("string"), F.lit(',"'),
+            F.col("l_returnflag"), F.lit(","), F.col("l_linestatus"),
+            F.lit('",'), F.col("l_linenumber").cast("string"),
+            F.lit(",extra1,extra2"),
+        ),
+    )
+    out = split_char(
+        li, "line", ",", ["k", "flagstat", "n"],
+        quote='"', preserve_others=True, keep_source=True,
+    )
+    return out.select(
+        F.col("k").cast("long").alias("orderkey"),
+        "flagstat",
+        F.col("n").cast("int").alias("linenumber"),
+        F.col("_split_preserve_").alias("preserve"),
+    )
+
+
 def _q_dictmap_csv(spark: SparkSession, sf: str) -> DataFrame:
     """processor_dict_map DictFilePath mode
     (processor_dict_map.go:96-135): the lookup loads from a 2-column
@@ -852,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_multiline_end": _q_multiline_end,
         "q45_desensitize_md5": _q_desensitize_md5,
         "q46_dictmap_csv": _q_dictmap_csv,
+        "q47_split_char_quoted": _q_split_char_quoted,
     }
 
 
@@ -1235,6 +1263,12 @@ def oracle_sql() -> dict[str, str]:
              AND NOT regexp_matches(err, '-')
              AND regexp_matches(url, '/api/v[12]/.*')
            GROUP BY method, err""",
+        "q47_split_char_quoted": """
+            SELECT l_orderkey AS orderkey,
+                   l_returnflag || ',' || l_linestatus AS flagstat,
+                   l_linenumber AS linenumber,
+                   'extra1,extra2' AS preserve
+            FROM lineitem""",
         "q46_dictmap_csv": PARSED_CTE
         + """SELECT CASE tool_call WHEN 'bash' THEN 'shell'
                   WHEN 'read' THEN 'fs' WHEN 'write' THEN 'fs'

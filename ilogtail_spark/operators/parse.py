@@ -447,6 +447,30 @@ def expand_json(
 # CSV / delimiter
 # ---------------------------------------------------------------------------
 
+def quote_split(src: Column, sep: str, quote: str, limit: int = -1) -> Column:
+    """Quote-aware split: break on ``sep`` only where the quotes ahead
+    are balanced — separators inside a quoted region don't split
+    (split_char.go:34-184's scan, as one lookahead regex). Java-regex
+    only; the no-quote paths stay structural."""
+    import re as _re
+
+    q = _re.escape(quote)
+    pat = f"{_re.escape(sep)}(?=(?:[^{q}]*{q}[^{q}]*{q})*[^{q}]*$)"
+    return F.split(src, pat, limit)
+
+
+def unquote_field(c: Column, quote: str) -> Column:
+    """Strip a wrapping quote pair and collapse doubled inner quotes
+    (quote-doubling escape, split_char.go:30-32's supported shape)."""
+    import re as _re
+
+    wrapped = (F.length(c) >= 2) & c.startswith(quote) & c.endswith(quote)
+    inner = F.substring(c, F.lit(2), F.length(c) - 2)
+    return F.when(
+        wrapped, F.regexp_replace(inner, _re.escape(quote * 2), quote)
+    ).otherwise(c)
+
+
 def parse_delimiter(
     df: DataFrame,
     fields: list[str],
@@ -460,47 +484,43 @@ def parse_delimiter(
     """processor_parse_delimiter_native (ProcessorParseDelimiterNative.cpp:186-206)
     + processor_csv (processor_csv.go:111).
 
-    With a quote char we delegate to ``from_csv`` (full RFC quote
-    semantics); without, a plain ``split`` + ``element_at`` (cheaper,
-    no quote scanning). Overflow treatment per the reference:
+    Both paths share one shape — split to parts, project by index —
+    so ``overflow`` and ``allow_shortened`` behave identically with
+    and without a quote char (the quote path previously delegated to
+    from_csv and silently ignored them). Overflow per the reference:
       extend  -> surplus columns appear as __column{i}__
       keep    -> surplus glued (unsplit) onto the last field
       discard -> surplus dropped
-    Short rows fail the parse unless allow_shortened.
+    Short rows fail the parse unless allow_shortened; the field count
+    is the real (quote-aware) one, so an empty-quoted last field no
+    longer reads as a short row.
     """
+    import re as _re
+
     opts = options or ParserOptions()
     n = len(fields)
+    limit = -1 if overflow != "keep" else n
     if quote:
-        csv_schema = ", ".join(f"`{f}` string" for f in fields)
-        parsed = F.from_csv(
-            F.col(source), csv_schema, {"sep": sep, "quote": quote or '"'}
-        )
-        ncols = F.size(F.split(F.col(source), F.lit(sep), -1))  # approx for counters
-        out = df
-        for f_name in fields:
-            out = out.withColumn(f_name, parsed[f_name])
-        ok = parsed.isNotNull() & (
-            F.lit(allow_shortened) | parsed[fields[-1]].isNotNull()
-        )
-        return _apply_failure_contract(out, source, ok, opts)
-
-    parts = F.split(F.col(source), F.lit(sep), -1 if overflow != "keep" else n)
+        parts = quote_split(F.col(source), sep, quote, limit)
+    else:
+        parts = F.split(F.col(source), _re.escape(sep), limit)
     npart = F.size(parts)
     ok = F.col(source).isNotNull() & (
         (npart >= n) if not allow_shortened else F.lit(True)
     )
     out = df.withColumn("_parts", parts)
+
+    def field_val(idx0: int) -> Column:
+        v = F.element_at(F.col("_parts"), idx0 + 1)
+        return unquote_field(v, quote) if quote else v
+
     for i, f_name in enumerate(fields):
-        out = out.withColumn(
-            f_name,
-            F.when(ok, F.element_at(F.col("_parts"), i + 1)),
-        )
+        out = out.withColumn(f_name, F.when(ok, field_val(i)))
     if overflow == "extend":
         # surplus fields materialize as __column{i}__ up to a static cap
         for j in range(n, n + 4):
             out = out.withColumn(
-                f"__column{j}__",
-                F.when(npart > j, F.element_at(F.col("_parts"), j + 1)),
+                f"__column{j}__", F.when(npart > j, field_val(j))
             )
     out = out.drop("_parts")
     return _apply_failure_contract(out, source, ok, opts)
@@ -530,6 +550,81 @@ def parse_kv(
     parsed = F.str_to_map(F.col(source), F.lit(pair_sep), F.lit(kv_sep))
     ok = F.col(source).isNotNull() & F.col(source).contains(kv_sep)
     out = df.withColumn(attrs_col, F.when(ok, parsed))
+    for k in expand or []:
+        out = out.withColumn(k, F.element_at(F.col(attrs_col), k))
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+def split_key_value(
+    df: DataFrame,
+    source: str = "text",
+    pair_sep: str = "\t",
+    kv_sep: str = ":",
+    quote: str | None = None,
+    attrs_col: str = "attrs",
+    empty_key_prefix: str = "empty_key_",
+    no_sep_key_prefix: str = "no_separator_key_",
+    discard_no_sep: bool = False,
+    expand: list[str] | None = None,
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_split_key_value, full reference semantics
+    (key_value_splitter.go:26-60,97-160): quote-aware pair splitting
+    (quoted values may embed the delimiter), and the anomaly policies —
+    a pair without the separator lands under
+    ``no_separator_key_<i>`` (or is dropped with
+    DiscardWhenSeparatorNotFound), an empty key becomes
+    ``empty_key_<i>``; counters index per row in pair order.
+
+    One ``aggregate`` over the split pairs builds (entries, counters)
+    as a struct fold — higher-order JVM expressions, no UDF, no
+    shuffle. :func:`parse_kv` stays the fast path when no quote or
+    anomaly handling is configured (plain ``str_to_map``).
+    """
+    opts = options or ParserOptions()
+    src = F.col(source)
+    if quote:
+        pairs = quote_split(src, pair_sep, quote, -1)
+    else:
+        import re as _re
+
+        pairs = F.split(src, _re.escape(pair_sep), -1)
+
+    entry_t = "array<struct<key:string,value:string>>"
+    init = F.struct(
+        F.array().cast(entry_t).alias("entries"),
+        F.lit(0).alias("ek"),
+        F.lit(0).alias("nk"),
+    )
+
+    def unq(c: Column) -> Column:
+        return unquote_field(c, quote) if quote else c
+
+    def merge(acc: Column, p: Column) -> Column:
+        pos = F.instr(p, kv_sep)
+        no_sep = pos == 0
+        empty_key = pos == 1
+        key = F.when(
+            no_sep, F.concat(F.lit(no_sep_key_prefix), acc["nk"].cast("string"))
+        ).when(
+            empty_key, F.concat(F.lit(empty_key_prefix), acc["ek"].cast("string"))
+        ).otherwise(F.substring(p, F.lit(1), pos - 1))
+        value = F.when(no_sep, unq(p)).otherwise(
+            unq(F.substring(p, pos + len(kv_sep), F.length(p)))
+        )
+        entry = F.struct(key.alias("key"), value.alias("value"))
+        drop = no_sep & F.lit(discard_no_sep)
+        return F.struct(
+            F.when(drop, acc["entries"])
+            .otherwise(F.array_append(acc["entries"], entry))
+            .alias("entries"),
+            (acc["ek"] + empty_key.cast("int")).alias("ek"),
+            (acc["nk"] + (no_sep & ~F.lit(discard_no_sep)).cast("int")).alias("nk"),
+        )
+
+    folded = F.aggregate(pairs, init, merge)
+    ok = src.isNotNull()
+    out = df.withColumn(attrs_col, F.when(ok, F.map_from_entries(folded["entries"])))
     for k in expand or []:
         out = out.withColumn(k, F.element_at(F.col(attrs_col), k))
     return _apply_failure_contract(out, source, ok, opts)
@@ -654,6 +749,18 @@ def _kv_factory(**cfg):
     source = cfg_pop(cfg, "SourceKey", "source", default="text")
     pair_sep = cfg_pop(cfg, "Delimiter", "pair_sep", default="&")
     kv_sep = cfg_pop(cfg, "Separator", "kv_sep", default="=")
+    quote = cfg_pop(cfg, "Quote", "quote", default=None)
+    discard_no_sep = cfg_pop(
+        cfg, "DiscardWhenSeparatorNotFound", "discard_no_sep", default=False
+    )
+    empty_prefix = cfg_pop(cfg, "EmptyKeyPrefix", default="empty_key_")
+    no_sep_prefix = cfg_pop(cfg, "NoSeparatorKeyPrefix", default="no_separator_key_")
+    if quote or discard_no_sep:
+        return lambda df: split_key_value(
+            df, source=source, pair_sep=pair_sep, kv_sep=kv_sep, quote=quote,
+            empty_key_prefix=empty_prefix, no_sep_key_prefix=no_sep_prefix,
+            discard_no_sep=discard_no_sep, options=opts,
+        )
     return lambda df: parse_kv(
         df, source=source, pair_sep=pair_sep, kv_sep=kv_sep, options=opts
     )

@@ -62,6 +62,53 @@ def split_string(
     return out
 
 
+def split_char(
+    df: DataFrame,
+    source: str,
+    sep: str,
+    keys: list[str],
+    quote: str | None = None,
+    preserve_others: bool = False,
+    keep_source: bool = False,
+) -> DataFrame:
+    """processor_split_char (split_char.go:34-184): split a field on a
+    single-char separator into named columns; with ``quote``, a value
+    enclosed in quotes may embed the separator (quote-aware lookahead
+    split + unquote). ``preserve_others`` lands the remainder beyond
+    the declared keys in ``_split_preserve_`` RAW (still quoted,
+    separator-joined) — the reference's byte-remainder semantics."""
+    from ilogtail_spark.operators.parse import quote_split, unquote_field
+
+    src = F.col(source)
+    n = len(keys)
+    if quote:
+        parts = quote_split(src, sep, quote, -1)
+    else:
+        import re as _re
+
+        parts = F.split(src, _re.escape(sep), -1)
+    out = df.withColumn("_parts", parts)
+    npart = F.size(F.col("_parts"))
+    for i, k in enumerate(keys):
+        v = F.element_at(F.col("_parts"), i + 1)
+        out = out.withColumn(k, unquote_field(v, quote) if quote else v)
+    if preserve_others:
+        out = out.withColumn(
+            "_split_preserve_",
+            F.when(
+                npart > n,
+                F.array_join(
+                    F.slice(F.col("_parts"), n + 1, F.greatest(npart - n, F.lit(0))),
+                    sep,
+                ),
+            ),
+        )
+    out = out.drop("_parts")
+    if not keep_source:
+        out = out.drop(source)
+    return out
+
+
 def split_multiline(
     df: DataFrame,
     source: str,
@@ -230,6 +277,22 @@ def _split_factory(**cfg):
     source = cfg_pop(cfg, "SourceKey", "source", default="text")
     sep = cfg_pop(cfg, "SplitSep", "sep", default="\n")
     return lambda df: split_string(df, source=source, sep=sep)
+
+
+@register("processor_split_char")
+def _split_char_factory(**cfg):
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    sep = cfg_pop(cfg, "SplitSep", "sep", default=",")
+    keys = cfg_pop(cfg, "SplitKeys", "keys")
+    quote_flag = cfg_pop(cfg, "QuoteFlag", "quote_flag", default=False)
+    quote = cfg_pop(cfg, "Quote", "quote", default=None)
+    preserve = cfg_pop(cfg, "PreserveOthers", "preserve_others", default=False)
+    keep = cfg_pop(cfg, "KeepSource", "keep_source", default=False)
+    return lambda df: split_char(
+        df, source, sep, keys,
+        quote=(quote if (quote_flag or quote) else None),
+        preserve_others=preserve, keep_source=keep,
+    )
 
 
 @register("processor_split_log_regex")

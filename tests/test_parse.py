@@ -227,3 +227,46 @@ def test_grok_multi_pattern_overlapping_fields(spark):
         grok_parse(df, ["a=%{INT:v}", "b=%{INT:v}"]).orderBy("id").collect()
     )
     assert out[0]["v"] == "1" and out[1]["v"] == "2"
+
+
+def test_split_key_value_quotes_and_policies(spark):
+    """key_value_splitter.go:97-160: quote-aware pairs, empty-key and
+    no-separator prefixes with per-row counters."""
+    from ilogtail_spark.operators.parse import split_key_value
+
+    line = 'a:1\tb:"x\ty"\tnosep\t:emptyval\tanother'
+    df = _df(spark, [line])
+    out = split_key_value(
+        df, pair_sep="\t", kv_sep=":", quote='"',
+        options=ParserOptions(keep_source=True),
+    ).first()
+    assert out["attrs"] == {
+        "a": "1",
+        "b": "x\ty",
+        "no_separator_key_0": "nosep",
+        "empty_key_0": "emptyval",
+        "no_separator_key_1": "another",
+    }
+
+    dropped = split_key_value(
+        df, pair_sep="\t", kv_sep=":", quote='"', discard_no_sep=True,
+        options=ParserOptions(keep_source=True),
+    ).first()
+    assert dropped["attrs"] == {"a": "1", "b": "x\ty", "empty_key_0": "emptyval"}
+
+
+def test_parse_delimiter_quote_overflow_and_short(spark):
+    """overflow/allow_shortened now honored on the quote path; an
+    empty-quoted last field is NOT a short row."""
+    from ilogtail_spark.operators.parse import parse_delimiter
+
+    df = _df(spark, ['a,"b,1",c,ex1,ex2', 'a,b', 'x,y,""'])
+    out = (
+        parse_delimiter(df, ["f1", "f2", "f3"], sep=",", quote='"')
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["f2"] == "b,1" and out[0][PARSE_OK_KEY]
+    assert out[0]["__column3__"] == "ex1" and out[0]["__column4__"] == "ex2"
+    assert not out[1][PARSE_OK_KEY]  # short row fails
+    assert out[2][PARSE_OK_KEY] and out[2]["f3"] == ""  # empty-quoted ok

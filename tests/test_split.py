@@ -142,3 +142,32 @@ def test_multiline_merge_group_cap(spark):
     joined = sorted(out, key=lambda r: r["line"])
     all_lines = [ln for r in joined for ln in r["text"].split("\n")]
     assert all_lines == texts
+
+
+def test_split_char_quote_aware(spark):
+    """split_char.go:34-184: quoted values embed the separator;
+    doubled quotes collapse; remainder raw in _split_preserve_."""
+    from ilogtail_spark.operators.split import split_char
+
+    df = spark.createDataFrame(
+        [(0, 'abc,"b,cd""",x,rest1,"r,2"')], "id int, line string"
+    )
+    out = split_char(
+        df, "line", ",", ["a", "b", "c"], quote='"',
+        preserve_others=True, keep_source=True,
+    ).first()
+    assert out["a"] == "abc"
+    assert out["b"] == 'b,cd"'
+    assert out["c"] == "x"
+    assert out["_split_preserve_"] == 'rest1,"r,2"'
+
+
+def test_split_char_factory_no_quote(spark):
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    df = spark.createDataFrame([(0, "a|b|c")], "id int, line string")
+    fn = OPERATORS["processor_split_char"](
+        SourceKey="line", SplitSep="|", SplitKeys=["x", "y", "z"]
+    )
+    out = fn(df).first()
+    assert (out["x"], out["y"], out["z"]) == ("a", "b", "c")
