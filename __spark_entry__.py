@@ -743,6 +743,37 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_transform_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Registry chain over the small scalar transforms that round 1
+    covered only with goldens: add_fields → rename → appender →
+    packjson → base64 → md5 (processor_add_fields.go:26,
+    processor_rename.go:26, processor_appender.go:31,
+    processor_packjson.go:26, processor_base64_encoding.go:25,
+    processor_md5.go:26)."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    chain = build_pipeline(
+        [
+            {"type": "processor_add_fields", "Fields": {"env": "prod"}},
+            {
+                "type": "processor_rename",
+                "SourceKeys": ["tool"],
+                "DestKeys": ["tool_name"],
+            },
+            {"type": "processor_appender", "Fields": {"env": "-east"}},
+            {
+                "type": "processor_packjson",
+                "SourceKeys": ["role", "tool_name"],
+                "DestKey": "packed",
+            },
+            {"type": "processor_base64_encoding", "SourceKey": "packed"},
+            {"type": "processor_md5", "SourceKey": "packed", "DestKey": "packed_md5"},
+        ]
+    )
+    out = chain(derive_transcripts(spark, sf))
+    return out.select("conv_id", "turn_idx", "env", "tool_name", "packed", "packed_md5")
+
+
 def _q_split_char_quoted(spark: SparkSession, sf: str) -> DataFrame:
     """processor_split_char with QuoteFlag (split_char.go:34-184):
     quoted values embed the separator; remainder beyond SplitKeys
@@ -880,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_desensitize_md5": _q_desensitize_md5,
         "q46_dictmap_csv": _q_dictmap_csv,
         "q47_split_char_quoted": _q_split_char_quoted,
+        "q48_transform_chain": _q_transform_chain,
     }
 
 
@@ -1263,6 +1295,17 @@ def oracle_sql() -> dict[str, str]:
              AND NOT regexp_matches(err, '-')
              AND regexp_matches(url, '/api/v[12]/.*')
            GROUP BY method, err""",
+        "q48_transform_chain": TRANSCRIPTS_CTE
+        + """,
+           t AS (
+             SELECT conv_id, turn_idx, 'prod' || '-east' AS env,
+                    tool AS tool_name,
+                    '{"role":"' || role || '","tool_name":"' || tool || '"}' AS packed_raw
+             FROM transcripts)
+           SELECT conv_id, turn_idx, env, tool_name,
+                  base64(packed_raw::BLOB) AS packed,
+                  md5(base64(packed_raw::BLOB)) AS packed_md5
+           FROM t""",
         "q47_split_char_quoted": """
             SELECT l_orderkey AS orderkey,
                    l_returnflag || ',' || l_linestatus AS flagstat,

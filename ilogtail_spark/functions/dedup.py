@@ -205,11 +205,20 @@ def ngram_jaccard_pairs(
         "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g")
     ).select("_id", "_n", _md5_hash64(F.col("_g")).alias("_gh"))
     if max_doc_freq is not None:
-        freq = inv.groupBy("_gh").agg(F.count(F.lit(1)).alias("_df"))
-        inv = (
-            inv.join(freq.filter(F.col("_df") <= max_doc_freq), "_gh")
-            .drop("_df")
+        # the OVER-cap grams are few (stop-word tail of the gram
+        # distribution), so: aggregate doc frequencies (map-side
+        # partial combine shrinks the shuffle to distinct grams),
+        # keep only df > cap, broadcast that blacklist as a LEFT ANTI
+        # join. The full inverted index never re-shuffles for the cap
+        # and no hot gram ever funnels through a single task — a
+        # plain count window or non-broadcast join would.
+        hot = (
+            inv.groupBy("_gh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("_gh")
         )
+        inv = inv.join(F.broadcast(hot), "_gh", "left_anti")
     inter = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a._gh") == F.col("b._gh")) & (F.col("a._id") < F.col("b._id")))
