@@ -743,6 +743,15 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate connected components (training-data dedup
+    clusters): exact n-gram pair graph → min-label propagation; the
+    DuckDB twin computes the same components with a recursive CTE."""
+    from ilogtail_spark.functions.dedup import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf, "documents"), jaccard_threshold=0.5)
+
+
 def _q_transform_chain(spark: SparkSession, sf: str) -> DataFrame:
     """Registry chain over the small scalar transforms that round 1
     covered only with goldens: add_fields → rename → appender →
@@ -912,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_dictmap_csv": _q_dictmap_csv,
         "q47_split_char_quoted": _q_split_char_quoted,
         "q48_transform_chain": _q_transform_chain,
+        "q49_dedup_clusters": _q_dedup_clusters,
     }
 
 
@@ -1295,6 +1305,25 @@ def oracle_sql() -> dict[str, str]:
              AND NOT regexp_matches(err, '-')
              AND regexp_matches(url, '/api/v[12]/.*')
            GROUP BY method, err""",
+        "q49_dedup_clusters": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """, pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))
+                    / len(list_distinct(a.sh || b.sh)) >= 0.5
+           ),
+           edges AS (
+             SELECT id_a AS src, id_b AS dst FROM pairs
+             UNION ALL SELECT id_b, id_a FROM pairs
+           ),
+           reach(a, b) AS (
+             SELECT src, src FROM edges GROUP BY src
+             UNION
+             SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+           ),
+           comp AS (SELECT a AS id, min(b) AS cluster FROM reach GROUP BY a)
+           SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
         "q48_transform_chain": TRANSCRIPTS_CTE
         + """,
            t AS (

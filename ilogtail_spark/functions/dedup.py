@@ -141,6 +141,73 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    max_iter: int = 10,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    pair graph, so a training pipeline can keep one canonical doc per
+    component (transitively: A~B, B~C ⇒ {A,B,C} even when A~C is
+    below threshold).
+
+    Edges come from :func:`ngram_jaccard_pairs` (exact, inverted-index
+    candidates). Components via min-label propagation: only nodes
+    that appear in an edge enter the loop (the pair graph is tiny
+    relative to the corpus — duplicate density, not corpus size), each
+    iteration is one join+groupBy on the edge list with a
+    localCheckpoint to cut lineage, and it stops at fixpoint or
+    ``max_iter`` (component diameter; near-dup clusters are shallow).
+    Isolated docs never shuffle — they join the result with
+    cluster_id = their own id. Output: (doc_id, cluster_id) where
+    cluster_id = min doc id in the component.
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, threshold=jaccard_threshold, max_doc_freq=max_doc_freq
+    ).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst")
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "_nl")
+            .join(labels, "id")
+            .filter(F.col("_nl") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+        )
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash over word 3-gram shingles with md5-derived gram hashes:
     bit i of the signature is the sign of Σ_grams (±1 per gram's bit

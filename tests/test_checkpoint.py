@@ -35,3 +35,34 @@ def test_kill_and_resume_no_duplicates(spark, sf_dir, tmp_path):
     assert res2["processed"] == []
     assert len(res2["skipped"]) == 6
     assert spark.read.parquet(out + "/bucket=*").count() == expected
+
+
+def test_bucketed_input_is_partition_pruned(spark, tmp_path):
+    """materialize_input writes the input once partitioned by bucket;
+    each per-bucket read must prune to its own directory instead of
+    re-scanning everything (was num_buckets full scans)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.plans.checkpoint import run_with_checkpoint
+
+    df = spark.range(0, 1000).withColumn("conv_id", F.concat(F.lit("c"), (F.col("id") % 57).cast("string")))
+    out_dir = str(tmp_path / "out")
+    run_with_checkpoint(df, out_dir, lambda d: d, num_buckets=4)
+    bdir = os.path.join(out_dir, "_bucketed")
+    assert os.path.exists(os.path.join(bdir, "_SUCCESS"))
+    assert sorted(
+        d for d in os.listdir(bdir) if d.startswith("_bucket=")
+    ) == [f"_bucket={i}" for i in range(4)]
+
+    pruned = spark.read.parquet(bdir).filter(F.col("_bucket") == 2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:200]
+
+    # all rows land exactly once across bucket outputs
+    total = sum(
+        spark.read.parquet(os.path.join(out_dir, f"bucket={b}")).count()
+        for b in range(4)
+    )
+    assert total == 1000

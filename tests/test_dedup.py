@@ -70,3 +70,20 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     assert (rows[0]["id_a"], rows[0]["id_b"]) == (1000, 1001)
     # denominator stays exact: J = 2/(2+3-2)
     assert abs(rows[0]["jaccard"] - 2 / 3) < 1e-6
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C must cluster {A,B,C} even when A~C is below
+    threshold; isolated docs keep their own id."""
+    from ilogtail_spark.functions.dedup import dedup_clusters
+
+    docs = [
+        (1, "aa bb cc dd ee ff gg hh"),
+        (2, "aa bb cc dd ee ff gg xx"),   # ~1
+        (3, "cc dd ee ff gg xx yy zz"),   # ~2, not ~1
+        (9, "totally different words here entirely"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df, jaccard_threshold=0.3).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[9] == 9
