@@ -86,6 +86,98 @@ def windowed_stream_agg(
     )
 
 
+def stateful_multiline_merge(
+    stream: DataFrame,
+    source: str = "text",
+    order_col: str = "turn_idx",
+    key_cols: list[str] | None = None,
+    start_pattern: str = r"^",
+    unmatched: str = "single_line",  # single_line | discard
+    max_merge_lines: int = 256,
+    flush_timeout_ms: int | None = None,
+):
+    """Multiline merge as a CUSTOM STATEFUL streaming operator — the
+    native habitat of ProcessorSplitMultilineLogStringNative (file
+    tailing holds the open log across reads; here the open merge
+    group persists ACROSS MICRO-BATCHES via applyInPandasWithState).
+
+    Start-only mode: a Start line flushes the previous group and opens
+    a new one; continuation lines append; lines with no open group
+    follow ``unmatched`` (SINGLE_LINE emits them as-is, DISCARD drops
+    them — MultilineOptions.h:31-53). Groups flush in
+    ``max_merge_lines`` chunks like the batch engine. A dangling open
+    group flushes on the processing-time timeout when
+    ``flush_timeout_ms`` is set — the streaming twin of the
+    reference's unfinished-log flush timeout; without it the group
+    waits for the next Start (and is dropped at stream end, as the
+    reference drops an unflushed tail on shutdown).
+
+    State per key: (start order, buffered text, line count). The
+    per-line scan is a compiled-regex Python loop over the group's
+    Arrow batch — this is the stateful path; the vectorized batch
+    operator (operators/split.py::split_multiline) remains the bulk
+    path.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import re
+
+    key_cols = key_cols or ["conv_id"]
+    fields = {f.name: f.dataType.simpleString() for f in stream.schema.fields}
+    out_schema = ", ".join(
+        [f"`{k}` {fields[k]}" for k in key_cols]
+        + [f"`{order_col}` {fields[order_col]}", f"`{source}` string"]
+    )
+    state_schema = "start_order long, buf string, n long"
+    cols = key_cols + [order_col, source]
+    rx = re.compile(start_pattern)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if flush_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            so, buf, _ = state.get
+            state.remove()
+            yield pd.DataFrame([[*key, so, buf]], columns=cols)
+            return
+        pending = list(state.get) if state.exists else None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for o, t in zip(pdf[order_col], pdf[source]):
+                if t is not None and rx.search(t):
+                    if pending:
+                        out.append((pending[0], pending[1]))
+                    pending = [o, t, 1]
+                elif pending is not None:
+                    if pending[2] >= max_merge_lines:
+                        out.append((pending[0], pending[1]))
+                        pending = [o, t, 1]  # continuation chunk
+                    else:
+                        pending[1] = f"{pending[1]}\n{t}"
+                        pending[2] += 1
+                elif unmatched == "single_line":
+                    out.append((o, t))
+        if pending is not None:
+            state.update((int(pending[0]), pending[1], int(pending[2])))
+            if flush_timeout_ms:
+                state.setTimeoutDuration(flush_timeout_ms)
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                [[*key, o, t] for o, t in out], columns=cols
+            )
+
+    return stream.groupBy(*[F.col(k) for k in key_cols]).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+
+
 def stateful_rate_limit(
     stream: DataFrame,
     keys: list[str],

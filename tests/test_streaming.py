@@ -154,3 +154,58 @@ def test_late_data_policy_explicit_filter(spark, tmp_path):
     # watermark advanced past batch 0 (state-cleanup evidence)
     wm = q.recentProgress[-1]["eventTime"].get("watermark", "")
     assert wm.startswith("2024-01-10")
+
+
+def test_stateful_multiline_merge_across_microbatches(spark, tmp_path):
+    """The open merge group must persist across micro-batches: a
+    group started in batch 1 keeps absorbing continuation lines in
+    batch 2 and flushes when the next Start arrives."""
+    import os
+    import time
+
+    from ilogtail_spark.streaming.job import stateful_multiline_merge
+
+    src_dir = str(tmp_path / "ml_src")
+    schema = "conv_id string, turn_idx int, text string"
+    batch1 = [("c1", 0, "junk"), ("c1", 1, "START a"), ("c1", 2, "cont b")]
+    batch2 = [("c1", 3, "cont c"), ("c1", 4, "START d"), ("c1", 5, "cont e")]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    time.sleep(1.1)  # distinct mod times → deterministic file order
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src_dir)
+    # make the second file strictly newer for the source's ordering
+    parts = sorted(
+        (os.path.getmtime(os.path.join(src_dir, f)), f)
+        for f in os.listdir(src_dir)
+        if f.endswith(".parquet")
+    )
+    assert len(parts) == 2
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src_dir)
+    )
+    merged = stateful_multiline_merge(
+        stream, source="text", order_col="turn_idx", key_cols=["conv_id"],
+        start_pattern=r"^START",
+    )
+    q = (
+        merged.writeStream.format("memory")
+        .queryName("ml_out")
+        .option("checkpointLocation", str(tmp_path / "ml_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["turn_idx"], r["text"])
+        for r in spark.sql("select * from ml_out").collect()
+    }
+    # 'START a' absorbed cont b (batch 1) AND cont c (batch 2) —
+    # state crossed the micro-batch boundary — and flushed at START d;
+    # 'START d' + 'cont e' stays open (no timeout configured), like
+    # the reference's unflushed tail; the pre-start junk line is a
+    # SINGLE_LINE unmatched event.
+    assert got == {(0, "junk"), (1, "START a\ncont b\ncont c")}
