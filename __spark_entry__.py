@@ -743,6 +743,18 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (deterministic coarse quantizer, n_probe=4): the
+    cell-join scale path complementary to LSH — oracle replicates the
+    quantizer and probes exactly."""
+    from ilogtail_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-duplicate connected components (training-data dedup
     clusters): exact n-gram pair graph → min-label propagation; the
@@ -922,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_split_char_quoted": _q_split_char_quoted,
         "q48_transform_chain": _q_transform_chain,
         "q49_dedup_clusters": _q_dedup_clusters,
+        "q50_ann_ivf": _q_ann_ivf,
     }
 
 
@@ -1036,6 +1049,35 @@ def _cos_sql(a: str, b: str) -> str:
         f"round(({_dot_sql(a, b)}) / "
         f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})), 6)"
     )
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of similarity.ivf_topk: same deterministic
+    quantizer (vec_id < n_centroids), same rounded-cosine ranking and
+    cid tie-break, explicit left-assoc double sums."""
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             cents AS (SELECT vec_id AS cid, v AS cv FROM c
+                       WHERE vec_id < {n_centroids}),
+             ca AS (SELECT a.vec_id, a.v, ct.cid,
+                           {_cos_sql('a.v', 'ct.cv')} AS ccos
+                    FROM c a CROSS JOIN cents ct),
+             cr AS (SELECT *, row_number() OVER (
+                      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+                    FROM ca),
+             cells AS (SELECT vec_id AS neighbor_id, v AS cvec, cid
+                       FROM cr WHERE rn = 1),
+             probes AS (SELECT vec_id AS query_id, v AS qvec, cid
+                        FROM cr WHERE vec_id < 5 AND rn <= {n_probe}),
+             s AS (SELECT p.query_id, cl.neighbor_id,
+                          {_cos_sql('p.qvec', 'cl.cvec')} AS cos
+                   FROM probes p JOIN cells cl USING (cid)
+                   WHERE cl.neighbor_id <> p.query_id),
+             r AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+                   FROM s)
+        SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 10"""
 
 
 def _ann_lsh_oracle() -> str:
@@ -1210,6 +1252,7 @@ def oracle_sql() -> dict[str, str]:
         # with inlined plane constants and left-assoc double sums.
         # q29_multimodal_features: stubbed decode — rows-only check.
         "q27_ann_lsh": _ann_lsh_oracle(),
+        "q50_ann_ivf": _ann_ivf_oracle(),
         "q28_embedding_neardup": _neardup_oracle(),
         "q30_fields_with_condition": PARSED_CTE
         + r"""SELECT CASE

@@ -133,6 +133,63 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every corpus vector
+    to its nearest centroid cell (one broadcast of the centroid
+    table, narrow scoring pass, per-vector top-1 window); queries
+    probe their ``n_probe`` nearest cells and score only those cells'
+    members — candidate generation is a cell-id equi-join instead of
+    a cross product, the complementary scale path to LSH sign
+    bucketing (cells adapt to the data distribution; hyperplanes
+    don't).
+
+    The quantizer here is a deterministic sample (corpus vectors with
+    id < n_centroids) so results are exactly reproducible and
+    oracle-checkable; at scale you'd train k-means centroids offline
+    and broadcast them the same way — the plan shape is identical.
+    Recall < 1 by design, controlled by n_probe.
+    """
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+    )
+
+    def assign(df: DataFrame, idname: str, vecname: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_ccos", F.round(cosine(F.col(vecname), F.col("cv")), 6)
+        )
+        w = Window.partitionBy(idname).orderBy(F.col("_ccos").desc(), F.col("cid"))
+        return (
+            scored.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= n)
+            .select(idname, vecname, "cid")
+        )
+
+    cells = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id", "c_vec", 1,
+    )
+    probes = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id", "q_vec", n_probe,
+    )
+    cand = cells.join(probes, "cid").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn("cos", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("_rn").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.99,

@@ -65,3 +65,24 @@ def test_pandas_cosine_matches_native(spark):
     ).collect()
     for r in rows:
         assert math.isclose(r["native"], r["pandas"], abs_tol=1e-6)
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """With n_probe = n_centroids every cell is probed, so IVF must
+    reproduce exact brute-force top-k (recall knob sanity)."""
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.functions.similarity import brute_force_topk, ivf_topk
+    from ilogtail_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert ivf == exact
