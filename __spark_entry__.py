@@ -409,6 +409,7 @@ def _q_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_tokens",
+        "n_tokens_bpe",
         F.round(F.col("punct_ratio"), 6).alias("punct_ratio"),
         F.round(F.col("quality"), 6).alias("quality"),
         "lang_guess",
@@ -1008,6 +1009,7 @@ WITH _b AS (
 SELECT doc_id,
   CASE WHEN length(trim(text)) = 0 THEN 0
        ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) END AS n_tokens,
+  CAST(len(regexp_extract_all(text, '(\w+|[^\w\s])')) AS INTEGER) AS n_tokens_bpe,
   round(praw, 6) AS punct_ratio,
   round((
       (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0

@@ -34,8 +34,11 @@ def token_count(col: Column) -> Column:
 
 def token_count_bpeish(col: Column) -> Column:
     """A BPE-ish regex token count: alphanumeric runs and single
-    non-space symbols each count as one token."""
-    return F.size(F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), 0))
+    non-space symbols each count as one token (the dialect-common
+    subset of the GPT-2 pretokenizer split, no lookarounds)."""
+    return F.when(
+        col.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.size(F.regexp_extract_all(col, F.lit(r"(\w+|[^\w\s])"), 0)))
 
 
 def punct_ratio(col: Column) -> Column:
@@ -107,6 +110,7 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumns(
         {
             "n_tokens": token_count(c),
+            "n_tokens_bpe": token_count_bpeish(c),
             "punct_ratio": punct_ratio(c),
             "quality": quality_score(c),
             "lang_guess": lang_id(c),

@@ -62,3 +62,39 @@ def test_dissect_plan_stays_small_under_filter_pushdown(spark, sf_dir):
     # regression guard: the naive rest-chaining formulation exploded to
     # a ~170 KB plan once filter pushdown substituted the chain
     assert len(plan) < 60_000, f"plan blew up to {len(plan)} chars"
+
+
+def test_desensitize_md5_region_is_pure_jvm(spark):
+    """The md5-region rebuild must stay expression-only — no Python
+    UDF stage (BatchEvalPython/ArrowEvalPython) in the plan."""
+    from ilogtail_spark.operators.transform import desensitize
+
+    df = spark.createDataFrame([("a=1 b=2",)], "text string")
+    plan = _plan(desensitize(df, "text", method="md5", regex_begin="=", regex_content=r"\d+"))
+    assert "EvalPython" not in plan
+
+
+def test_rate_limit_two_phase_exchanges(spark):
+    """Salted rate_limit: exactly two hash-partitioned exchanges —
+    phase 1 on (key, salt), phase 2 on (key) — and the first one
+    carries the salt so a hot key spreads."""
+    from ilogtail_spark.operators.filters import rate_limit
+
+    df = spark.range(0, 1000).withColumn("key", (F.col("id") % 3).cast("string"))
+    plan = _plan(rate_limit(df, ["key"], 5, order_col="id", salt_n=16))
+    exchanges = [
+        line for line in plan.split("\n")
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 2, plan
+    assert "pmod" in exchanges[-1] or "pmod" in plan  # salt in phase-1 keys
+
+
+def test_ngram_cap_blacklist_is_broadcast_anti_join(spark):
+    from ilogtail_spark.functions.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    plan = _plan(ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=50))
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
