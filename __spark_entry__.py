@@ -1250,9 +1250,25 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
             FROM r WHERE rn <= 10""",
-        # q27/q28: deterministic LSH (md5 hyperplanes) — exact oracles
-        # with inlined plane constants and left-assoc double sums.
-        # q29_multimodal_features: stubbed decode — rows-only check.
+        # q27/q28/q50: deterministic LSH/IVF — exact oracles with
+        # inlined constants and left-assoc double sums.
+        # q29: the decode STUB's deterministic fake features are
+        # byte-arithmetic (fixture text is pure ASCII), so even the
+        # mapInPandas plumbing is value-checked; a real codec would
+        # revert this to rows-only.
+        "q29_multimodal_features": """
+            WITH f AS (
+              SELECT doc_id, 'image/fake' AS media_type,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     CAST(COALESCE(list_sum(list_transform(
+                            range(least(length(text), 256)),
+                            i -> ascii(substr(text, i + 1, 1)))), 0) % 65521
+                          AS BIGINT) AS checksum
+              FROM documents)
+            SELECT doc_id, media_type, n_bytes, checksum,
+                   CAST(checksum % 640 + 1 AS INTEGER) AS width,
+                   CAST(checksum % 480 + 1 AS INTEGER) AS height
+            FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
         "q28_embedding_neardup": _neardup_oracle(),
