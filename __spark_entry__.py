@@ -744,6 +744,39 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (custom temporal operator): every turn picks up the
+    tool's latest config version active at its event time. Spark
+    executes it join-free (union + per-key running last); the oracle
+    is DuckDB's native ASOF LEFT JOIN — two independent
+    constructions, same semantics."""
+    from ilogtail_spark.operators.transform import as_of_join
+
+    df = derive_transcripts(spark, sf)
+    upd = (
+        df.filter(F.col("turn_idx") % 97 == 0)
+        .groupBy("tool", F.date_trunc("hour", "ts").alias("uts"))
+        .agg(F.max("turn_idx").alias("version"))
+    )
+    out = as_of_join(
+        df, upd, keys=["tool"], left_ts="ts", right_ts="uts",
+        right_cols=["version"],
+    )
+    return out.select("conv_id", "turn_idx", "tool", "version")
+
+
+def _q_rolling_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rabin-Karp-style polynomial rolling hash over the word
+    sequence — order-sensitive document fingerprint, one aggregate
+    fold per row in both engines."""
+    from ilogtail_spark.functions.textstats import rolling_fingerprint
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp_roll")
+    )
+
+
 def _q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN (deterministic coarse quantizer, n_probe=4): the
     cell-join scale path complementary to LSH — oracle replicates the
@@ -936,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_transform_chain": _q_transform_chain,
         "q49_dedup_clusters": _q_dedup_clusters,
         "q50_ann_ivf": _q_ann_ivf,
+        "q51_asof_join": _q_asof_join,
+        "q52_rolling_fp": _q_rolling_fingerprint,
     }
 
 
@@ -1271,6 +1306,30 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        "q51_asof_join": TRANSCRIPTS_CTE
+        + """,
+           upd AS (
+             SELECT tool, date_trunc('hour', ts) AS uts,
+                    CAST(max(turn_idx) AS INTEGER) AS version
+             FROM transcripts WHERE turn_idx % 97 = 0
+             GROUP BY tool, date_trunc('hour', ts))
+           SELECT t.conv_id, t.turn_idx, t.tool, u.version
+           FROM transcripts t ASOF LEFT JOIN upd u
+             ON t.tool = u.tool AND t.ts >= u.uts""",
+        "q52_rolling_fp": r"""
+           WITH w AS (
+             SELECT doc_id,
+                    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             FROM documents),
+           h AS (
+             SELECT doc_id,
+                    list_transform(ws,
+                      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS hs
+             FROM w)
+           SELECT doc_id,
+                  list_reduce(list_prepend(0::BIGINT, hs),
+                              (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp_roll
+           FROM h""",
         "q28_embedding_neardup": _neardup_oracle(),
         "q30_fields_with_condition": PARSED_CTE
         + r"""SELECT CASE

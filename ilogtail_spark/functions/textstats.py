@@ -105,6 +105,33 @@ def fingerprint64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+ROLL_BASE = 1000003
+ROLL_MOD = 2147483647  # 2^31 - 1: keeps acc*BASE + x < 2^63 (no overflow)
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """True polynomial rolling hash over the word sequence:
+    h = Σ w_i · B^(n-i) mod M, folded left-to-right as
+    h = (h·B + md5_64(w) mod M) mod M. Order-sensitive (unlike the
+    whole-text md5 fingerprint, a word swap changes it predictably)
+    and incrementally updatable — the Rabin-Karp shape. All JVM
+    ``aggregate`` fold; DuckDB twin is the same fold via
+    list_reduce."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    hashes = F.transform(
+        words,
+        lambda w: F.pmod(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
+            F.lit(ROLL_MOD),
+        ),
+    )
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % ROLL_MOD,
+    )
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

@@ -355,6 +355,59 @@ def geoip_enrich(
     return joined.drop("ip_start", "ip_end", "_ipnum")
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of (temporal latest-value) join: each left row picks up the
+    most recent right row with ``right_ts <= left_ts`` for the same
+    keys — the "config/version active at event time" enrichment the
+    reference handles by reloading per-agent state between batches.
+
+    Spark plan: NO join at all. Tag and UNION both sides, then one
+    window per key ordered by (ts, side) running a
+    last(value, ignorenulls) — right rows sort before left rows at
+    equal timestamps, so the inclusive (<=) semantics fall out of the
+    sort key. One shuffle on the keys, streaming O(1)-memory frame —
+    versus a sort-merge join with an inequality post-filter that
+    materializes every (event, older-version) candidate pair. Hot
+    keys serialize through one window task (inherent to per-key
+    ordering — same caveat as the reference's per-source ordering);
+    shard upstream by a coarser key if one key dominates.
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    rt = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *right_cols,
+    )
+    for c in lt.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(lt.schema[c].dataType))
+    unioned = lt.unionByName(rt.select(*lt.columns))
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return unioned.filter(F.col("_side") == 1).drop("_ts", "_side")
+
+
 def log_to_metric(
     df: DataFrame,
     label_keys: list[str],

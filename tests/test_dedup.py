@@ -87,3 +87,18 @@ def test_dedup_clusters_transitive(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df, jaccard_threshold=0.3).collect()}
     assert out[1] == out[2] == out[3] == 1
     assert out[9] == 9
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.functions.textstats import rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta alpha gamma"), (3, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in df.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[3] and fp[1] != fp[2]
+    assert 0 <= fp[1] < 2147483647

@@ -170,3 +170,28 @@ def test_dictmap_csv_factory(spark, tmp_path):
     )
     out = {r["id"]: r["role_class"] for r in fn(df).collect()}
     assert out == {"a": "human", "b": "Unknown"}
+
+
+def test_as_of_join_semantics(spark):
+    """Latest right row at-or-before the left timestamp; no earlier
+    right row → null; equal timestamps are INCLUSIVE."""
+    from ilogtail_spark.operators.transform import as_of_join
+
+    left = spark.createDataFrame(
+        [("k1", 5, "e1"), ("k1", 10, "e2"), ("k1", 20, "e3"), ("k2", 7, "e4")],
+        "key string, ts int, ev string",
+    )
+    right = spark.createDataFrame(
+        [("k1", 10, "v10"), ("k1", 15, "v15"), ("k3", 1, "vx")],
+        "key string, ts int, version string",
+    )
+    out = {
+        r["ev"]: r["version"]
+        for r in as_of_join(left, right, ["key"], "ts", "ts", ["version"]).collect()
+    }
+    assert out == {
+        "e1": None,     # before any version
+        "e2": "v10",    # inclusive at equal ts
+        "e3": "v15",    # latest wins
+        "e4": None,     # key with no versions at all
+    }
