@@ -744,6 +744,63 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_prom_relabel(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_prom_relabel_metric_native
+    (ProcessorPromRelabelMetricNative.h:27-75): external-label merge
+    with exported_ conflict handling, then keep / replace / hashmod /
+    labeldrop relabel rules over the labels map."""
+    from ilogtail_spark.operators.prom import merge_external_labels, prom_relabel
+
+    df = parse_stage(derive_transcripts(spark, sf)).filter(F.col(PARSE_OK_KEY))
+    metrics = df.select(
+        "conv_id",
+        "turn_idx",
+        F.lit("latency_ms").alias("metric_name"),
+        F.col("latency_ms").cast("double").alias("metric_value"),
+        F.create_map(
+            F.lit("tool"), F.col("tool_call"),
+            F.lit("role"), F.col("role"),
+            F.lit("conv"), F.col("conv_id"),
+        ).alias("labels"),
+    )
+    out = merge_external_labels(
+        metrics, {"cluster": "prod", "role": "scraper"}, honor_labels=False
+    )
+    out = prom_relabel(
+        out,
+        [
+            {"action": "keep", "source_labels": ["tool"], "regex": "ba.*|re.*"},
+            {
+                "action": "replace",
+                "source_labels": ["tool"],
+                "regex": "(ba.*)",
+                "target_label": "tool_grp",
+                "replacement": "grp_$1",
+            },
+            {
+                "action": "hashmod",
+                "source_labels": ["conv"],
+                "target_label": "shard",
+                "modulus": 8,
+            },
+            {"action": "labeldrop", "regex": "conv"},
+        ],
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "metric_name",
+        "metric_value",
+        F.element_at("labels", "tool").alias("l_tool"),
+        F.element_at("labels", "tool_grp").alias("l_tool_grp"),
+        F.element_at("labels", "shard").alias("l_shard"),
+        F.element_at("labels", "cluster").alias("l_cluster"),
+        F.element_at("labels", "exported_role").alias("l_exported_role"),
+        F.element_at("labels", "role").alias("l_role"),
+        F.element_at("labels", "conv").alias("l_conv"),
+    )
+
+
 def _q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join (custom temporal operator): every turn picks up the
     tool's latest config version active at its event time. Spark
@@ -971,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_ann_ivf": _q_ann_ivf,
         "q51_asof_join": _q_asof_join,
         "q52_rolling_fp": _q_rolling_fingerprint,
+        "q53_prom_relabel": _q_prom_relabel,
     }
 
 
@@ -1306,6 +1364,21 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        "q53_prom_relabel": PARSED_CTE
+        + """SELECT conv_id, turn_idx,
+                  'latency_ms' AS metric_name,
+                  CAST(latency_ms AS DOUBLE) AS metric_value,
+                  tool_call AS l_tool,
+                  CASE WHEN regexp_matches(tool_call, '^(?:(ba.*))$')
+                       THEN 'grp_' || tool_call END AS l_tool_grp,
+                  CAST(('0x' || substr(md5(conv_id), 1, 15))::BIGINT % 8
+                       AS VARCHAR) AS l_shard,
+                  'prod' AS l_cluster,
+                  role AS l_exported_role,
+                  'scraper' AS l_role,
+                  CAST(NULL AS VARCHAR) AS l_conv
+             FROM parsed
+             WHERE parse_ok AND regexp_matches(tool_call, '^(?:ba.*|re.*)$')""",
         "q51_asof_join": TRANSCRIPTS_CTE
         + """,
            upd AS (

@@ -15,6 +15,7 @@ from ilogtail_spark.operators import (  # noqa: E402,F401
     agg,
     filters,
     parse,
+    prom,
     route,
     split,
     transform,
