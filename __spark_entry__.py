@@ -744,6 +744,50 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_prom_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_prom_parse_metric_native: exposition-format lines →
+    (__name__, labels, __value__, __ts_ms__); comment lines take the
+    failure path."""
+    from ilogtail_spark.operators.parse import parse_prom_metric
+
+    df = derive_transcripts(spark, sf)
+    line = F.when(
+        F.col("tool") != "none",
+        F.concat(
+            F.lit('conv_turns{tool="'), F.col("tool"),
+            F.lit('",role="'), F.col("role"), F.lit('"} '),
+            F.col("turn_idx").cast("string"), F.lit(" "),
+            # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+            # cast is the identity rebase and millis match epoch_ms
+            F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
+        ),
+    ).otherwise(F.concat(F.lit("# comment "), F.col("text")))
+    out = parse_prom_metric(df.withColumn("prom", line), source="prom")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.col(PARSE_OK_KEY).alias("parse_ok"),
+        F.col("__name__").alias("metric_name"),
+        F.col("__value__").alias("metric_value"),
+        F.element_at("labels", "tool").alias("l_tool"),
+        F.element_at("labels", "role").alias("l_role"),
+        F.col("__ts_ms__").alias("ts_ms"),
+    )
+
+
+def _q_hypertable_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical minute→hour→day rollup: coarser levels
+    re-aggregate finer partials (associative re-agg); the oracle
+    computes each level directly from raw rows, so the parity check
+    proves partial re-aggregation loses nothing."""
+    from ilogtail_spark.operators.agg import hypertable_rollup
+
+    df = parse_stage(derive_transcripts(spark, sf)).filter(F.col(PARSE_OK_KEY))
+    return hypertable_rollup(
+        df, ts_col="ts", keys=["tool_call"], value_col="latency_ms"
+    )
+
+
 def _q_prom_relabel(spark: SparkSession, sf: str) -> DataFrame:
     """processor_prom_relabel_metric_native
     (ProcessorPromRelabelMetricNative.h:27-75): external-label merge
@@ -1029,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_asof_join": _q_asof_join,
         "q52_rolling_fp": _q_rolling_fingerprint,
         "q53_prom_relabel": _q_prom_relabel,
+        "q54_hypertable_rollup": _q_hypertable_rollup,
+        "q55_prom_parse": _q_prom_parse,
     }
 
 
@@ -1364,6 +1410,33 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        "q55_prom_parse": TRANSCRIPTS_CTE
+        + """SELECT conv_id, turn_idx,
+                  tool <> 'none' AS parse_ok,
+                  CASE WHEN tool <> 'none' THEN 'conv_turns' END AS metric_name,
+                  CASE WHEN tool <> 'none' THEN CAST(turn_idx AS DOUBLE) END AS metric_value,
+                  CASE WHEN tool <> 'none' THEN tool END AS l_tool,
+                  CASE WHEN tool <> 'none' THEN role END AS l_role,
+                  CASE WHEN tool <> 'none' THEN epoch_ms(ts) END AS ts_ms
+             FROM transcripts""",
+        "q54_hypertable_rollup": PARSED_CTE
+        + """,
+           ok AS (SELECT * FROM parsed WHERE parse_ok),
+           lv AS (
+             SELECT 'minute' AS granularity, date_trunc('minute', ts) AS bucket,
+                    tool_call, CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(sum(latency_ms) AS BIGINT) AS sum_latency_ms
+             FROM ok GROUP BY 2, 3
+             UNION ALL
+             SELECT 'hour', date_trunc('hour', ts), tool_call,
+                    CAST(count(*) AS BIGINT), CAST(sum(latency_ms) AS BIGINT)
+             FROM ok GROUP BY 2, 3
+             UNION ALL
+             SELECT 'day', date_trunc('day', ts), tool_call,
+                    CAST(count(*) AS BIGINT), CAST(sum(latency_ms) AS BIGINT)
+             FROM ok GROUP BY 2, 3)
+           SELECT granularity, bucket, tool_call, n_events, sum_latency_ms
+           FROM lv""",
         "q53_prom_relabel": PARSED_CTE
         + """SELECT conv_id, turn_idx,
                   'latency_ms' AS metric_name,

@@ -177,6 +177,46 @@ def metadata_group(
     )
 
 
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str = "ts",
+    keys: Sequence[str] = (),
+    value_col: str | None = None,
+    granularities: Sequence[str] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: multi-granularity
+    rollups where each COARSER level re-aggregates the previous
+    level's partials instead of re-reading raw rows — the
+    count→sum / sum→sum associativity that makes a day rollup over
+    100 TB read minute partials (×~10⁴ smaller), exactly how
+    timeseries stores maintain hierarchical continuous aggregates.
+
+    Output: one row per (granularity, bucket, keys…) with n_events
+    and sum_<value_col>; the finest level shuffles raw data once,
+    every other level shuffles only partials.
+    """
+    aggs_first = [F.count(F.lit(1)).alias("n_events")]
+    aggs_next = [F.sum("n_events").alias("n_events")]
+    if value_col:
+        aggs_first.append(F.sum(F.col(value_col)).alias(f"sum_{value_col}"))
+        aggs_next.append(F.sum(f"sum_{value_col}").alias(f"sum_{value_col}"))
+
+    levels = []
+    cur = df.groupBy(
+        F.date_trunc(granularities[0], F.col(ts_col)).alias("bucket"), *keys
+    ).agg(*aggs_first)
+    levels.append(cur.withColumn("granularity", F.lit(granularities[0])))
+    for g in granularities[1:]:
+        cur = cur.groupBy(
+            F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys
+        ).agg(*aggs_next)
+        levels.append(cur.withColumn("granularity", F.lit(g)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def pack_id(df: DataFrame, pack_col: str = "__pack_id__") -> DataFrame:
     """aggregator_base __pack_id__ (aggregator_base.go:93-139):
     prefix+sequence lineage id ≈ (partition id, per-partition seq)."""

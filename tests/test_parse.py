@@ -270,3 +270,24 @@ def test_parse_delimiter_quote_overflow_and_short(spark):
     assert out[0]["__column3__"] == "ex1" and out[0]["__column4__"] == "ex2"
     assert not out[1][PARSE_OK_KEY]  # short row fails
     assert out[2][PARSE_OK_KEY] and out[2]["f3"] == ""  # empty-quoted ok
+
+
+def test_parse_prom_metric(spark):
+    from ilogtail_spark.operators.parse import parse_prom_metric
+
+    lines = [
+        'http_requests_total{method="post",code="200"} 1027 1395066363000',
+        "bare_metric 42.5",
+        'esc{msg="a\\"b\\\\c"} 1',
+        "# HELP http_requests_total The total...",
+        "not a metric line",
+    ]
+    df = _df(spark, lines)
+    out = parse_prom_metric(df).orderBy("id").collect()
+    assert out[0]["__name__"] == "http_requests_total"
+    assert dict(out[0]["labels"]) == {"method": "post", "code": "200"}
+    assert out[0]["__value__"] == 1027.0 and out[0]["__ts_ms__"] == 1395066363000
+    assert out[1]["__name__"] == "bare_metric" and out[1]["__value__"] == 42.5
+    assert out[1]["__ts_ms__"] is None and dict(out[1]["labels"]) == {}
+    assert dict(out[2]["labels"]) == {"msg": 'a"b\\c'}
+    assert not out[3][PARSE_OK_KEY] and not out[4][PARSE_OK_KEY]
