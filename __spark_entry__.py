@@ -744,6 +744,28 @@ def _q_multiline_end(spark: SparkSession, sf: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "text")
 
 
+def _q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization per conversation (30-min timeout
+    sessions) — lag + prefix-sum closed form, mirrored in SQL."""
+    from ilogtail_spark.operators.agg import sessionize
+
+    df = derive_transcripts(spark, sf)
+    return sessionize(df, ["conv_id"], ts_col="ts", gap_seconds=1800)
+
+
+def _q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-tool latency p50/p95/p99 — exact interpolated percentiles
+    (Spark percentile ≡ DuckDB quantile_cont); at 100 TB swap in
+    approx_percentile (t-digest) with the same call shape."""
+    df = parse_stage(derive_transcripts(spark, sf)).filter(F.col(PARSE_OK_KEY))
+    return df.groupBy("tool_call").agg(
+        F.round(F.expr("percentile(latency_ms, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(latency_ms, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(latency_ms, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def _q_prom_parse(spark: SparkSession, sf: str) -> DataFrame:
     """processor_prom_parse_metric_native: exposition-format lines →
     (__name__, labels, __value__, __ts_ms__); comment lines take the
@@ -1075,6 +1097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_prom_relabel": _q_prom_relabel,
         "q54_hypertable_rollup": _q_hypertable_rollup,
         "q55_prom_parse": _q_prom_parse,
+        "q56_sessionize": _q_sessionize,
+        "q57_percentiles": _q_percentiles,
     }
 
 
@@ -1410,6 +1434,32 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        "q56_sessionize": TRANSCRIPTS_CTE
+        + """,
+           g AS (
+             SELECT conv_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM transcripts
+             WINDOW w AS (PARTITION BY conv_id ORDER BY ts)),
+           s AS (
+             SELECT conv_id, ts,
+                    sum(new_sess) OVER (
+                      PARTITION BY conv_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM g)
+           SELECT conv_id, min(ts) AS session_start, max(ts) AS session_end,
+                  CAST(count(*) AS BIGINT) AS n_events,
+                  CAST(sess - 1 AS INTEGER) AS session_idx
+           FROM s GROUP BY conv_id, sess""",
+        "q57_percentiles": PARSED_CTE
+        + """SELECT tool_call,
+                  round(quantile_cont(latency_ms, 0.5), 6) AS p50,
+                  round(quantile_cont(latency_ms, 0.95), 6) AS p95,
+                  round(quantile_cont(latency_ms, 0.99), 6) AS p99,
+                  CAST(count(*) AS BIGINT) AS n
+             FROM parsed WHERE parse_ok GROUP BY tool_call""",
         "q55_prom_parse": TRANSCRIPTS_CTE
         + """SELECT conv_id, turn_idx,
                   tool <> 'none' AS parse_ok,

@@ -177,6 +177,44 @@ def metadata_group(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based session windows (the timeout-session analogue of
+    Spark's F.session_window, in the lag+prefix-sum closed form both
+    engines can mirror): a new session opens when the gap to the
+    previous event of the same keys exceeds ``gap_seconds``. Output:
+    one row per session with start/end/n_events.
+
+    One shuffle on the keys; the prefix sums stream O(1)-memory.
+    Same hot-key caveat as any per-key ordering.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = (
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col).cast("timestamp"))
+           - F.unix_micros(prev.cast("timestamp"))
+           > gap_seconds * 1_000_000)
+    )
+    sess = df.withColumn("_sess", F.sum(new_sess.cast("int")).over(w))
+    return (
+        sess.groupBy(*keys, "_sess")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("session_idx", (F.col("_sess") - 1).cast("int"))
+        .drop("_sess")
+    )
+
+
 def hypertable_rollup(
     df: DataFrame,
     ts_col: str = "ts",

@@ -124,3 +124,24 @@ def test_metadata_group_registry(spark):
     )
     out = fn(df)
     assert out.select("__pack_id__").distinct().count() == 3
+
+
+def test_sessionize_gap_semantics(spark):
+    from ilogtail_spark.operators.agg import sessionize
+
+    rows = [
+        ("c1", "2024-01-01 10:00:00"),
+        ("c1", "2024-01-01 10:10:00"),   # 10 min gap -> same session
+        ("c1", "2024-01-01 11:00:00"),   # 50 min gap -> new session
+        ("c2", "2024-01-01 10:05:00"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts_s string").withColumn(
+        "ts", F.to_timestamp("ts_s")
+    )
+    out = sessionize(df, ["conv_id"], gap_seconds=1800).orderBy(
+        "conv_id", "session_idx"
+    ).collect()
+    assert [(r["conv_id"], r["session_idx"], r["n_events"]) for r in out] == [
+        ("c1", 0, 2), ("c1", 1, 1), ("c2", 0, 1)
+    ]
+    assert out[0]["session_end"].isoformat() == "2024-01-01T10:10:00"
