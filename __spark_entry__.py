@@ -1390,11 +1390,19 @@ def oracle_sql() -> dict[str, str]:
             for i in range(8)
         )
         + " FROM sh",
+        # mirrors the Spark construction structurally: inverted index
+        # with the max_doc_freq=100 hot-gram cap (set sizes from the
+        # UNCAPPED shingle sets, like the operator)
         "q23_ngram_jaccard_top": _SHINGLES_CTE
-        + """, pairs AS (
+        + """, inv AS (
+              SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+           keepg AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 100),
+           invf AS (SELECT inv.doc_id, inv.n, inv.g FROM inv JOIN keepg USING (g)),
+           pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     round(len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                     round(count(*) / (a.n + b.n - count(*)), 6) AS jaccard
+              FROM invf a JOIN invf b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n, b.n
            )
            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard > 0
            ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
@@ -1546,10 +1554,14 @@ def oracle_sql() -> dict[str, str]:
              SELECT *, sum(is_start) OVER (
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-             FROM marked)
+             FROM marked),
+           chunked AS (
+             SELECT *, (row_number() OVER (
+               PARTITION BY conv_id, g ORDER BY turn_idx) - 1) // 256 AS sub
+             FROM grp WHERE g > 0)
            SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx,
                   string_agg(text, chr(10) ORDER BY turn_idx) AS text
-           FROM grp WHERE g > 0 GROUP BY conv_id, g
+           FROM chunked GROUP BY conv_id, g, sub
            UNION ALL
            SELECT conv_id, turn_idx, text FROM grp WHERE g = 0""",
         "q32_anchor": TRANSCRIPTS_CTE
@@ -1622,11 +1634,15 @@ def oracle_sql() -> dict[str, str]:
              AND regexp_matches(url, '/api/v[12]/.*')
            GROUP BY method, err""",
         "q49_dedup_clusters": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-        + """, pairs AS (
+        + """, inv AS (
+              SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+           keepg AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 100),
+           invf AS (SELECT inv.doc_id, inv.n, inv.g FROM inv JOIN keepg USING (g)),
+           pairs AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE len(list_intersect(a.sh, b.sh))
-                    / len(list_distinct(a.sh || b.sh)) >= 0.5
+              FROM invf a JOIN invf b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id, a.n, b.n
+              HAVING count(*) / (a.n + b.n - count(*)) >= 0.5
            ),
            edges AS (
              SELECT id_a AS src, id_b AS dst FROM pairs
@@ -1695,11 +1711,15 @@ def oracle_sql() -> dict[str, str]:
              SELECT *, sum(e) OVER (PARTITION BY conv_id) AS tot_e,
                     min(CASE WHEN s = 1 THEN turn_idx END)
                       OVER (PARTITION BY conv_id, blk) AS first_s
-             FROM b)
+             FROM b),
+           matched AS (
+             SELECT *, (row_number() OVER (
+               PARTITION BY conv_id, blk ORDER BY turn_idx) - 1) // 256 AS sub
+             FROM t
+             WHERE blk < tot_e AND first_s IS NOT NULL AND turn_idx >= first_s)
            SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx,
                   string_agg(text, chr(10) ORDER BY turn_idx) AS text
-           FROM t WHERE blk < tot_e AND first_s IS NOT NULL AND turn_idx >= first_s
-           GROUP BY conv_id, blk""",
+           FROM matched GROUP BY conv_id, blk, sub""",
         "q40_config_pipeline": PARSED_CTE
         + """
            SELECT conv_id, turn_idx, tool_call,

@@ -143,13 +143,16 @@ def metadata_group(
     maxEventsLength events or maxEventsByteLength bytes.
 
     Batch rendering: every row gets a ``__pack_id__`` =
-    md5(keys)-chunk, where chunk advances when EITHER the running
-    event count crosses ``max_events`` or the running byte size
-    (``size_col``'s octet_length) crosses ``max_bytes``. The byte
-    chunking uses a global running sum rather than reset-on-flush, so
-    a pack may exceed max_bytes by at most one event — the bounded-
-    pack intent holds exactly for events and to within one event for
-    bytes. One window over (keys) — metadata keys are coarse
+    md5(keys)-chunk, where chunk = event_chunk + byte_chunk (their
+    SUM, both monotone over the row order): within one pack the byte
+    part is constant so the event part alone advances every
+    ``max_events`` rows — the event bound holds EXACTLY — and the
+    event part is constant over any byte overrun, so a pack spans at
+    most ``max_bytes`` plus one event of running bytes. (A
+    ``greatest()`` combination instead lets one oversized event race
+    the byte counter ahead and absorb unbounded rows into the pack it
+    lands on.) Byte chunking uses a global running sum rather than
+    reset-on-flush. One window over (keys) — metadata keys are coarse
     (host/source tags), so no hot-key salting is needed here; the
     per-pack payload is what the caps bound.
     """
@@ -166,7 +169,7 @@ def metadata_group(
             ),
             F.lit(0),
         )
-        chunk = F.greatest(chunk, F.floor(cum_before / F.lit(max_bytes)))
+        chunk = chunk + F.floor(cum_before / F.lit(max_bytes))
     return df.withColumn(
         pack_col,
         F.concat_ws(

@@ -172,9 +172,12 @@ def fields_with_condition(
         for i, case in enumerate(cases):
             if k not in case.get("add", {}):
                 continue
-            if case.get("ignore_if_exist") and k in df.columns:
-                continue
-            expr = F.when(F.col("_fwc_win") == i, F.lit(case["add"][k])).otherwise(expr)
+            cond = F.col("_fwc_win") == i
+            if case.get("ignore_if_exist"):
+                # per-ROW key existence, like the reference's event
+                # model: a NULL cell means "key absent" and is filled
+                cond = cond & base.isNull()
+            expr = F.when(cond, F.lit(case["add"][k])).otherwise(expr)
         df = df.withColumn(k, expr)
 
     drop_keys = sorted({k for case in cases for k in case.get("drop_keys", [])})
@@ -241,9 +244,20 @@ def rate_limit(
     every task to ~rows/salt_n for phase 1 and limit×salt_n for
     phase 2. With ties in ``order_col`` the surviving row set among
     tied rows is arbitrary (same as the single-window formulation).
+
+    The salt hashes EVERY column, not just ``order_col``: a burst of
+    events sharing one coarse timestamp (the canonical hot-key shape)
+    must still spread across salt groups, and a deterministic
+    expression keeps shuffle keys stable under task retries (fully
+    identical duplicate rows still co-hash — interchangeable anyway).
     """
     if salt_n and salt_n > 1:
-        salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_n))
+        from pyspark.sql.types import MapType
+
+        hashable = [
+            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+        ] or [order_col]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt_n))
         w1 = Window.partitionBy(*keys, salt).orderBy(F.col(order_col).asc())
         df = (
             df.withColumn("_rl_pre", F.row_number().over(w1))

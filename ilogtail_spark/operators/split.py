@@ -165,9 +165,17 @@ def split_multiline(
     w = Window.partitionBy(*group_cols).orderBy(order_col)
     wfull = Window.partitionBy(*group_cols)
     src = F.col(source)
-    m = df.withColumn("_s", src.rlike(start_pattern) if S else F.lit(False))
-    m = m.withColumn("_c", F.col(source).rlike(continue_pattern) if C else F.lit(False))
-    m = m.withColumn("_e", F.col(source).rlike(end_pattern) if E else F.lit(False))
+
+    # rlike(NULL) is NULL and would poison the prefix sums — NULL
+    # source rows match nothing and always take the unmatched policy
+    def mark(pattern):
+        if pattern is None:
+            return F.lit(False)
+        return F.coalesce(src.rlike(pattern), F.lit(False))
+
+    m = df.withColumn("_s", mark(start_pattern))
+    m = m.withColumn("_c", mark(continue_pattern))
+    m = m.withColumn("_e", mark(end_pattern))
 
     if S and not C and not E:
         m = m.withColumn("_gid", F.sum(F.col("_s").cast("int")).over(w))
@@ -209,6 +217,9 @@ def split_multiline(
 
     if unmatched == "merge":
         m = m.withColumn("_matched", F.lit(True))
+    # NULL source rows are never merged (they are not lines) — they
+    # route to the unmatched policy so no row silently disappears
+    m = m.withColumn("_matched", F.coalesce(F.col("_matched"), F.lit(False)) & src.isNotNull())
     m = m.drop("_s", "_c", "_e")
 
     matched = m.filter(F.col("_matched"))
@@ -288,9 +299,11 @@ def _split_char_factory(**cfg):
     quote = cfg_pop(cfg, "Quote", "quote", default=None)
     preserve = cfg_pop(cfg, "PreserveOthers", "preserve_others", default=False)
     keep = cfg_pop(cfg, "KeepSource", "keep_source", default=False)
+    # QuoteFlag without an explicit Quote char means the default '"'
+    effective_quote = quote if quote else ('"' if quote_flag else None)
     return lambda df: split_char(
         df, source, sep, keys,
-        quote=(quote if (quote_flag or quote) else None),
+        quote=effective_quote,
         preserve_others=preserve, keep_source=keep,
     )
 

@@ -97,7 +97,12 @@ def run_with_checkpoint(
 
     if materialize_input:
         bdir = os.path.join(out_dir, "_bucketed")
-        if not os.path.exists(os.path.join(bdir, "_SUCCESS")):
+        # the bucketed copy belongs to ONE logical run: reuse it only
+        # when actually resuming (commits exist); a fresh run always
+        # rewrites it from the passed df, so a changed input or a
+        # cleared commit log can never silently replay stale data
+        resuming = bool(done)
+        if not (resuming and os.path.exists(os.path.join(bdir, "_SUCCESS"))):
             (
                 bucketed.repartition(num_buckets, F.col("_bucket"))
                 .write.mode("overwrite")

@@ -146,9 +146,14 @@ def stateful_multiline_merge(
             return
         pending = list(state.get) if state.exists else None
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            for o, t in zip(pdf[order_col], pdf[source]):
+        # the group's rows arrive as MULTIPLE Arrow batches with no
+        # global ordering — concatenate before the single sort, else a
+        # later batch with earlier line numbers corrupts the state
+        # machine (bounded by the key's per-micro-batch volume)
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            allrows = pd.concat(chunks).sort_values(order_col)
+            for o, t in zip(allrows[order_col], allrows[source]):
                 if t is not None and rx.search(t):
                     if pending:
                         out.append((pending[0], pending[1]))

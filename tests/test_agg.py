@@ -145,3 +145,22 @@ def test_sessionize_gap_semantics(spark):
         ("c1", 0, 2), ("c1", 1, 1), ("c2", 0, 1)
     ]
     assert out[0]["session_end"].isoformat() == "2024-01-01T10:10:00"
+
+
+def test_metadata_group_oversized_event_keeps_event_cap(spark):
+    """Review regression: one oversized event must not let a later
+    pack absorb more than max_events rows (greatest() chunking did;
+    the SUM formulation keeps the event bound exact)."""
+    from ilogtail_spark.operators.agg import metadata_group
+
+    rows = [("h", 0, "x" * 1000)] + [("h", i, "y") for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "host string, seq int, payload string")
+    out = metadata_group(
+        df, ["host"], max_events=2, max_bytes=100, size_col="payload",
+        order_col="seq",
+    )
+    counts = [
+        r["n"]
+        for r in out.groupBy("__pack_id__").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert max(counts) <= 2

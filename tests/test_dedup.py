@@ -102,3 +102,18 @@ def test_rolling_fingerprint_order_sensitive(spark):
         "doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
     assert fp[1] == fp[3] and fp[1] != fp[2]
     assert 0 <= fp[1] < 2147483647
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark):
+    """Review regression: a 14-deep near-dup chain converges within
+    max_iter=10 thanks to path halving."""
+    from ilogtail_spark.functions.dedup import dedup_clusters
+
+    base = ["w%d" % i for i in range(18)]
+    docs = []
+    for i in range(15):
+        words = base[i : i + 4]  # adjacent docs share 3 of 4 words
+        docs.append((i + 1, " ".join(words * 2)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df, jaccard_threshold=0.05).collect()}
+    assert set(out.values()) == {1}

@@ -171,3 +171,30 @@ def test_split_char_factory_no_quote(spark):
     )
     out = fn(df).first()
     assert (out["x"], out["y"], out["z"]) == ("a", "b", "c")
+
+
+def test_multiline_null_rows_not_dropped(spark):
+    """Review regression: NULL source rows must surface through the
+    unmatched policy, not vanish (rlike(NULL) poisoning)."""
+    df = _lines(spark, ["junk"])  # placeholder, rebuilt below
+    df = spark.createDataFrame(
+        [("c1", 0, None), ("c1", 1, "junk"), ("c1", 2, "START a"), ("c1", 3, "cont")],
+        "conv_id string, line int, text string",
+    )
+    out = split_multiline(df, "text", "line", ["conv_id"], start_pattern=r"^START")
+    assert _merged(out) == [(0, None), (1, "junk"), (2, "START a\ncont")]
+    disc = split_multiline(
+        df, "text", "line", ["conv_id"], start_pattern=r"^START", unmatched="discard"
+    )
+    assert _merged(disc) == [(2, "START a\ncont")]
+
+
+def test_split_char_quoteflag_defaults_quote(spark):
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    df = spark.createDataFrame([(0, 'a,"b,c",d')], "id int, line string")
+    fn = OPERATORS["processor_split_char"](
+        SourceKey="line", SplitSep=",", SplitKeys=["x", "y", "z"], QuoteFlag=True
+    )
+    out = fn(df).first()
+    assert (out["x"], out["y"], out["z"]) == ("a", "b,c", "d")
