@@ -17,12 +17,14 @@ per aggregation key (the reference's own max-merged-log-size cap),
 so no task ever materializes an unbounded conversation in one
 collect_list — the round-1 OOM/straggler risk on the hot key.
 
-Documented deviations (pattern-overlap corners, all require one line
-to match two of the three regexes): a Start∧Continue line directly
-after an unmatched run is treated as continuation; a Start∧End line
-opening a span closes it immediately; a Continue∧End line at
-end-of-stream counts as a terminator. Disjoint patterns — the only
-shape the reference's docs and unittests exercise — are exact.
+Pattern-overlap corners: Start∧Continue and Continue∧End overlaps
+reproduce the reference's check order exactly (out-state re-opens at
+a Start mid-segment; an in-span Continue beats End). The one
+remaining documented deviation: a line matching BOTH Start and End
+in Start+End mode closes its own span immediately, where the
+reference would run to the next End — that case needs truly
+sequential state. Disjoint patterns — the only shape the reference's
+docs and unittests exercise — are exact in every mode.
 """
 
 from __future__ import annotations
@@ -181,11 +183,20 @@ def split_multiline(
         m = m.withColumn("_gid", F.sum(F.col("_s").cast("int")).over(w))
         m = m.withColumn("_matched", F.col("_gid") > 0)
     elif S and C:
+        # segments break at every non-continue line; within a segment
+        # the group runs from the FIRST start-matching line to the
+        # segment end (earlier lines are unmatched). This reproduces
+        # the reference exactly even when a line matches both Start
+        # and Continue after an unmatched run: out-state checks Start
+        # only, so that line re-opens a group mid-segment.
         m = m.withColumn("_gid", F.sum((~F.col("_c")).cast("int")).over(w))
         wseg = Window.partitionBy(*group_cols, "_gid").orderBy(order_col).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
-        m = m.withColumn("_matched", F.first("_s").over(wseg))
+        first_s = F.min(F.when(F.col("_s"), F.col(order_col))).over(wseg)
+        m = m.withColumn(
+            "_matched", first_s.isNotNull() & (F.col(order_col) >= first_s)
+        )
     elif E and not C:  # E or S+E
         m = m.withColumn(
             "_gid", F.sum(F.col("_e").cast("int")).over(w) - F.col("_e").cast("int")
@@ -210,7 +221,10 @@ def split_multiline(
         wseg = Window.partitionBy(*group_cols, "_gid").orderBy(order_col).rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
-        m = m.withColumn("_matched", F.last("_e").over(wseg))
+        # a line matching BOTH Continue and End acts as continuation
+        # (in-span Continue is checked first, cpp:199-203), so only an
+        # End that is NOT a Continue closes a segment
+        m = m.withColumn("_matched", F.last(F.col("_e") & ~F.col("_c")).over(wseg))
     else:
         # no multiline config at all: passthrough
         return df

@@ -198,3 +198,41 @@ def test_split_char_quoteflag_defaults_quote(spark):
     )
     out = fn(df).first()
     assert (out["x"], out["y"], out["z"]) == ("a", "b,c", "d")
+
+
+def test_multiline_start_and_continue_overlap(spark):
+    """A line matching BOTH Start and Continue after an unmatched run
+    re-opens a group (out-state checks Start only, cpp:179-186);
+    after a matched group it attaches as continuation (in-span
+    Continue first, cpp:199-203)."""
+    # start='^A', continue='^[AB]' — every A line matches both
+    df = _lines(spark, ["x", "A1", "B1", "x2", "B2", "A2", "B3"])
+    out = split_multiline(
+        df, "text", "line", ["conv_id"],
+        start_pattern=r"^A", continue_pattern=r"^[AB]",
+    )
+    assert _merged(out) == [
+        (0, "x"), (1, "A1\nB1"), (3, "x2"), (4, "B2"), (5, "A2\nB3")
+    ]
+
+
+def test_multiline_continue_end_overlap(spark):
+    """A Continue∧End line is a continuation, not a terminator —
+    the run stays open and is unmatched at EOF (cpp:199-209 ordering
+    + the EOF rule)."""
+    # continue='^C', end='^(E|CE)' — 'CE' lines match both
+    df = _lines(spark, ["C1", "CE", "E"]) .withColumn(
+        "text", F.col("text")
+    )
+    out = split_multiline(
+        df, "text", "line", ["conv_id"],
+        continue_pattern=r"^C", end_pattern=r"^(E|CE)",
+    )
+    assert _merged(out) == [(0, "C1\nCE\nE")]
+    # run ending at EOF on a Continue∧End line stays open → unmatched
+    df2 = _lines(spark, ["C1", "CE"])
+    out2 = split_multiline(
+        df2, "text", "line", ["conv_id"],
+        continue_pattern=r"^C", end_pattern=r"^(E|CE)",
+    )
+    assert _merged(out2) == [(0, "C1"), (1, "CE")]
