@@ -177,6 +177,7 @@ def dedup_clusters(
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
     labels = labels.localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -202,15 +203,14 @@ def dedup_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.withColumnRenamed("label", "_nl")
-            .join(labels, "id")
-            .filter(F.col("_nl") != F.col("label"))
-            .count()
-        )
         labels = new
-        if changed == 0:
+        # labels are monotonically non-increasing, so Σlabel strictly
+        # decreases until fixpoint — one tiny agg action instead of a
+        # compare-join per round
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return (
         df.select(F.col(id_col).alias("doc_id"))
         .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
