@@ -2,7 +2,18 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_hash64(c: Column) -> Column:
+    """THE shared cross-engine hash primitive (CLAUDE.md invariants):
+    first 15 hex chars of md5 as a signed BIGINT — bit-identical in
+    DuckDB as ('0x' || substr(md5(x), 1, 15))::BIGINT. Every operator
+    needing a 60-bit hash (minhash, simhash grams, LSH, hashmod,
+    fingerprints, rolling hash) must use this one definition so a
+    dialect tweak can never silently fork the oracle parity."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def spread(df: DataFrame) -> DataFrame:

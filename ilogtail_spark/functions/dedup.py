@@ -45,9 +45,10 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def _md5_hash64(c: Column) -> Column:
-    """First 15 hex chars of md5 as signed BIGINT — cross-engine stable
-    (DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    """Canonical cross-engine 60-bit hash (common.md5_hash64)."""
+    from ilogtail_spark.common import md5_hash64
+
+    return md5_hash64(c)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:

@@ -158,13 +158,21 @@ def _grok_parse_multi(df, pats, source, custom_patterns, options):
         win = F.when(src.isNotNull() & src.rlike(compiled[i][0]), F.lit(i)).otherwise(win)
 
     union_fields: list[str] = []
-    union_types: dict[str, str] = {}
-    for _, fields, types in compiled:
+    for _, fields, _types in compiled:
         for f in fields:
             if f not in union_fields:
                 union_fields.append(f)
-        for f, t in types.items():
-            union_types.setdefault(f, t)
+    # a cast is only safe when EVERY pattern carrying the field
+    # declares the same type — otherwise an untyped pattern's string
+    # value would be force-cast to NULL when it wins; mixed fields
+    # stay strings (the reference's event model is all-string anyway)
+    union_types: dict[str, str] = {}
+    for f in union_fields:
+        declared = [
+            types.get(f) for _, fields, types in compiled if f in fields
+        ]
+        if all(d is not None and d == declared[0] for d in declared):
+            union_types[f] = declared[0]
 
     struct_cols = [win.alias("__win")]
     for f in union_fields:

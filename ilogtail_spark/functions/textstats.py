@@ -102,7 +102,9 @@ def fingerprint64(col: Column) -> Column:
     chars → signed BIGINT) — a rolling-hash analogue that is
     cross-engine reproducible (DuckDB: ('0x'||substr(md5(x),1,16))::UBIGINT
     arithmetic)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    from ilogtail_spark.common import md5_hash64
+
+    return md5_hash64(col)
 
 
 ROLL_BASE = 1000003
@@ -118,13 +120,9 @@ def rolling_fingerprint(col: Column) -> Column:
     ``aggregate`` fold; DuckDB twin is the same fold via
     list_reduce."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
-    hashes = F.transform(
-        words,
-        lambda w: F.pmod(
-            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long"),
-            F.lit(ROLL_MOD),
-        ),
-    )
+    from ilogtail_spark.common import md5_hash64
+
+    hashes = F.transform(words, lambda w: F.pmod(md5_hash64(w), F.lit(ROLL_MOD)))
     return F.aggregate(
         hashes,
         F.lit(0).cast("long"),

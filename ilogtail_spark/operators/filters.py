@@ -252,10 +252,19 @@ def rate_limit(
     identical duplicate rows still co-hash — interchangeable anyway).
     """
     if salt_n and salt_n > 1:
-        from pyspark.sql.types import MapType
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        def _has_map(dt) -> bool:
+            if isinstance(dt, MapType):
+                return True
+            if isinstance(dt, ArrayType):
+                return _has_map(dt.elementType)
+            if isinstance(dt, StructType):
+                return any(_has_map(f.dataType) for f in dt.fields)
+            return False
 
         hashable = [
-            f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)
+            f.name for f in df.schema.fields if not _has_map(f.dataType)
         ] or [order_col]
         salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt_n))
         w1 = Window.partitionBy(*keys, salt).orderBy(F.col(order_col).asc())

@@ -512,7 +512,11 @@ def parse_delimiter(
 
     def field_val(idx0: int) -> Column:
         v = F.element_at(F.col("_parts"), idx0 + 1)
-        return unquote_field(v, quote) if quote else v
+        if quote and not (overflow == "keep" and idx0 == n - 1):
+            # the glued 'keep' remainder stays RAW (it spans several
+            # still-quoted fields; unquoting would mangle it)
+            return unquote_field(v, quote)
+        return v
 
     for i, f_name in enumerate(fields):
         out = out.withColumn(f_name, F.when(ok, field_val(i)))
@@ -753,9 +757,10 @@ def _kv_factory(**cfg):
     discard_no_sep = cfg_pop(
         cfg, "DiscardWhenSeparatorNotFound", "discard_no_sep", default=False
     )
+    has_prefix_cfg = "EmptyKeyPrefix" in cfg or "NoSeparatorKeyPrefix" in cfg
     empty_prefix = cfg_pop(cfg, "EmptyKeyPrefix", default="empty_key_")
     no_sep_prefix = cfg_pop(cfg, "NoSeparatorKeyPrefix", default="no_separator_key_")
-    if quote or discard_no_sep:
+    if quote or discard_no_sep or has_prefix_cfg:
         return lambda df: split_key_value(
             df, source=source, pair_sep=pair_sep, kv_sep=kv_sep, quote=quote,
             empty_key_prefix=empty_prefix, no_sep_key_prefix=no_sep_prefix,

@@ -24,7 +24,23 @@ from ilogtail_spark.operators.registry import cfg_pop, register
 
 
 def _hash64(c: Column) -> Column:
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    from ilogtail_spark.common import md5_hash64
+
+    return md5_hash64(c)
+
+
+def _safe_repl(repl: str, rx: str) -> str:
+    """Prometheus expands references to unset capture groups as empty
+    strings; Java regexp_replace throws. Strip $k references beyond
+    the regex's group count at compile time."""
+    import re as _re
+
+    ngroups = _re.compile(rx).groups
+    return _re.sub(
+        r"\$(\d+)",
+        lambda m: m.group(0) if int(m.group(1)) <= ngroups else "",
+        repl,
+    )
 
 
 def _set_label(labels: Column, key: str, value: Column) -> Column:
@@ -63,7 +79,7 @@ def prom_relabel(
             df = df.filter(~val.rlike(anchored))
         elif action == "replace":
             tgt = cfg["target_label"]
-            repl = cfg.get("replacement", "$1")
+            repl = _safe_repl(cfg.get("replacement", "$1"), rx)
             new = F.regexp_replace(val, anchored, repl)
             df = df.withColumn(
                 labels_col,
@@ -89,7 +105,7 @@ def prom_relabel(
                 labels_col, F.map_filter(labels, lambda k, _v: k.rlike(anchored))
             )
         elif action == "labelmap":
-            repl = cfg.get("replacement", "$1")
+            repl = _safe_repl(cfg.get("replacement", "$1"), rx)
             entries = F.map_entries(labels)
             renamed = F.transform(
                 F.filter(entries, lambda e: e["key"].rlike(anchored)),
@@ -102,9 +118,21 @@ def prom_relabel(
             survivors = F.filter(
                 entries, lambda e: ~F.array_contains(new_keys, e["key"])
             )
-            df = df.withColumn(
-                labels_col, F.map_from_entries(F.concat(survivors, renamed))
+            # overwrite semantics on renamed-key collisions (two meta
+            # labels mapping to one name): fold with last-wins instead
+            # of map_from_entries, which throws on duplicates
+            empty = F.map_from_arrays(
+                F.array().cast("array<string>"), F.array().cast("array<string>")
             )
+            folded = F.aggregate(
+                F.concat(survivors, renamed),
+                empty,
+                lambda acc, e: F.map_concat(
+                    F.map_filter(acc, lambda k, _v: k != e["key"]),
+                    F.create_map(e["key"], e["value"]),
+                ),
+            )
+            df = df.withColumn(labels_col, folded)
         else:
             raise ValueError(f"prom_relabel: unknown action {action!r}")
         labels = F.col(labels_col)

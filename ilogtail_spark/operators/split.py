@@ -106,7 +106,7 @@ def split_char(
             ),
         )
     out = out.drop("_parts")
-    if not keep_source:
+    if not keep_source and source not in keys:
         out = out.drop(source)
     return out
 

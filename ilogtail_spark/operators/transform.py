@@ -382,14 +382,28 @@ def as_of_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"as_of_join: right_cols {sorted(clash)} collide with left columns — "
+            "rename one side"
+        )
+    # right values ride in one-field STRUCT wrappers: the wrapper is
+    # non-null for every right row even when the VALUE is null, so
+    # last(ignorenulls) picks the latest right ROW rather than
+    # skipping back past a genuinely-null latest value
+    wrap = {c: f"_rw_{c}" for c in right_cols}
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
     for c in right_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+        lt = lt.withColumn(
+            wrap[c],
+            F.lit(None).cast(f"struct<v:{right.schema[c].dataType.simpleString()}>"),
+        )
     rt = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *right_cols,
+        *[F.struct(F.col(c).alias("v")).alias(wrap[c]) for c in right_cols],
     )
     for c in lt.columns:
         if c not in rt.columns:
@@ -404,8 +418,12 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     for c in right_cols:
-        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return unioned.filter(F.col("_side") == 1).drop("_ts", "_side")
+        unioned = unioned.withColumn(
+            c, F.last(wrap[c], ignorenulls=True).over(w)["v"]
+        )
+    return unioned.filter(F.col("_side") == 1).drop(
+        "_ts", "_side", *wrap.values()
+    )
 
 
 def log_to_metric(

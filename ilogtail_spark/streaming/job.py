@@ -154,7 +154,13 @@ def stateful_multiline_merge(
         if chunks:
             allrows = pd.concat(chunks).sort_values(order_col)
             for o, t in zip(allrows[order_col], allrows[source]):
-                if t is not None and rx.search(t):
+                if t is None:
+                    # NULL rows are not lines: unmatched policy, like
+                    # the batch engine (never appended as 'None')
+                    if unmatched == "single_line":
+                        out.append((o, None))
+                    continue
+                if rx.search(t):
                     if pending:
                         out.append((pending[0], pending[1]))
                     pending = [o, t, 1]

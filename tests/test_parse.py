@@ -291,3 +291,37 @@ def test_parse_prom_metric(spark):
     assert out[1]["__ts_ms__"] is None and dict(out[1]["labels"]) == {}
     assert dict(out[2]["labels"]) == {"msg": 'a"b\\c'}
     assert not out[3][PARSE_OK_KEY] and not out[4][PARSE_OK_KEY]
+
+
+def test_grok_mixed_type_field_stays_string(spark):
+    """A field typed in one pattern but not another must not be
+    force-cast when the untyped pattern wins (was silently NULLing)."""
+    df = _df(spark, ["w=abc", "n=42"])
+    out = (
+        grok_parse(df, ["w=%{WORD:v}", "n=%{INT:v:int}"]).orderBy("id").collect()
+    )
+    assert out[0]["v"] == "abc"  # untyped winner: value survives
+    assert out[1]["v"] == "42"   # typed pattern still matches, stays string
+
+
+def test_kv_factory_prefix_config_routes_full_splitter(spark):
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    df = _df(spark, ["a:1\tstandalone"])
+    fn = OPERATORS["processor_split_key_value"](
+        SourceKey="text", Delimiter="\t", Separator=":",
+        NoSeparatorKeyPrefix="bad_", KeepSource=True,
+    )
+    out = fn(df).first()
+    assert out["attrs"] == {"a": "1", "bad_0": "standalone"}
+
+
+def test_parse_delimiter_keep_overflow_raw_remainder(spark):
+    from ilogtail_spark.operators.parse import parse_delimiter
+
+    df = _df(spark, ['"x","y,1","z","w"'])
+    out = parse_delimiter(
+        df, ["f1", "f2"], sep=",", quote='"', overflow="keep",
+    ).first()
+    assert out["f1"] == "x"
+    assert out["f2"] == '"y,1","z","w"'  # glued remainder stays raw

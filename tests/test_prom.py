@@ -69,3 +69,23 @@ def test_relabel_registry(spark):
     out = fn(df).first()
     assert out["labels"]["cluster"] == "c1"
     assert out["labels"]["shard"] in {"0", "1", "2", "3"}
+
+
+def test_relabel_groupless_regex_default_replacement(spark):
+    # Prometheus expands unset group refs to ''; must not throw
+    df = _mdf(spark, [{"job": "up"}])
+    out = prom_relabel(
+        df, [{"action": "replace", "source_labels": ["job"], "regex": "up",
+              "target_label": "t"}]
+    ).first()
+    assert out["labels"]["t"] == ""
+
+
+def test_relabel_labelmap_collision_overwrites(spark):
+    df = _mdf(spark, [{"meta_a_x": "1", "meta_b_x": "2", "job": "api"}])
+    out = prom_relabel(
+        df, [{"action": "labelmap", "regex": "meta_._(.*)", "replacement": "$1"}]
+    ).first()
+    labels = dict(out["labels"])
+    assert labels["job"] == "api"
+    assert labels["x"] in {"1", "2"}  # collision resolved by overwrite, no throw

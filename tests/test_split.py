@@ -236,3 +236,11 @@ def test_multiline_continue_end_overlap(spark):
         continue_pattern=r"^C", end_pattern=r"^(E|CE)",
     )
     assert _merged(out2) == [(0, "C1"), (1, "CE")]
+
+
+def test_split_char_source_in_keys(spark):
+    from ilogtail_spark.operators.split import split_char
+
+    df = spark.createDataFrame([(0, "a|b")], "id int, text string")
+    out = split_char(df, "text", "|", ["text", "y"]).first()
+    assert out["text"] == "a" and out["y"] == "b"

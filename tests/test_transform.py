@@ -195,3 +195,22 @@ def test_as_of_join_semantics(spark):
         "e3": "v15",    # latest wins
         "e4": None,     # key with no versions at all
     }
+
+
+def test_as_of_join_null_right_value_and_collision(spark):
+    """A genuinely-NULL latest right value must be returned (not the
+    previous non-null one); colliding column names error out loudly."""
+    import pytest
+
+    from ilogtail_spark.operators.transform import as_of_join
+
+    left = spark.createDataFrame([("k", 6, "e")], "key string, ts int, ev string")
+    right = spark.createDataFrame(
+        [("k", 1, "a"), ("k", 5, None)], "key string, ts int, cfg string"
+    )
+    out = as_of_join(left, right, ["key"], "ts", "ts", ["cfg"]).first()
+    assert out["cfg"] is None  # latest version IS null, not 'a'
+
+    clash_left = left.withColumnRenamed("ev", "cfg")
+    with pytest.raises(ValueError, match="collide"):
+        as_of_join(clash_left, right, ["key"], "ts", "ts", ["cfg"])
