@@ -49,6 +49,60 @@ def decode_media(payload: bytes) -> tuple[int, int]:
     )
 
 
+RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def resize_media(
+    df: DataFrame, width: int = 64, height: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize plumbing: same Arrow-batched mapInPandas shape as a real
+    thumbnailer (PIL.thumbnail would slot into the marked line). The
+    deterministic fake emits a byte-repeated thumbnail of exactly
+    width*height bytes derived from the payload, so schema, batch
+    flow and output sizes are all real and testable."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [
+                # real decoder goes here (decode_media + resample)
+                bytes(np.frombuffer((p * ((width * height) // max(len(p), 1) + 1))[: width * height], dtype=np.uint8))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": width,
+                    "height": height,
+                    "thumb": thumbs,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampling plumbing: one input row fans out to n_frames
+    output rows (the generator shape a video decoder needs —
+    mapInPandas may emit MORE rows than it consumes). Fake frames are
+    evenly-spaced payload slices; a libav reader would replace the
+    slicing while keeping the exact same batch contract."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf["payload"]):
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    rows.append((did, i, bytes(p[i * step : (i + 1) * step])))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 

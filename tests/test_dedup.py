@@ -117,3 +117,31 @@ def test_dedup_clusters_long_chain_pointer_jumping(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(df, jaccard_threshold=0.05).collect()}
     assert set(out.values()) == {1}
+
+
+def test_multimodal_resize_and_frame_sample_plumbing(spark):
+    """The resize/frame-sample mapInPandas plumbing: fixed-size
+    thumbnails, 1->n_frames fan-out, deterministic fakes."""
+    from ilogtail_spark.functions.multimodal import (
+        attach_binary_payload,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world document"), (2, "x")], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs)
+    thumbs = {r["doc_id"]: r for r in resize_media(media, 8, 8).collect()}
+    assert len(thumbs[1]["thumb"]) == 64 and len(thumbs[2]["thumb"]) == 64
+    assert (thumbs[1]["width"], thumbs[1]["height"]) == (8, 8)
+
+    frames = sample_frames(media, n_frames=3).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert by_doc == {1: [0, 1, 2], 2: [0, 1, 2]}
+    # determinism: same input -> same frames
+    again = sample_frames(media, n_frames=3).collect()
+    assert sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in frames) == \
+           sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in again)
