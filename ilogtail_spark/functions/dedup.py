@@ -174,6 +174,10 @@ def dedup_clusters(
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).toDF("src", "dst")
+    # materialize the edge list ONCE — every iteration joins against
+    # it, and without the checkpoint each round would re-run the whole
+    # inverted-index self-join through lineage
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
