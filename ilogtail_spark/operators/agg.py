@@ -246,11 +246,16 @@ def hypertable_rollup(
     cur = df.groupBy(
         F.date_trunc(granularities[0], F.col(ts_col)).alias("bucket"), *keys
     ).agg(*aggs_first)
+    # materialize each level: union branches do NOT share subplans, so
+    # without this the day level would silently re-aggregate raw rows
+    # three times — the opposite of the hierarchical-partials contract
+    # (in a deployed continuous aggregate each level is its own table)
+    cur = cur.localCheckpoint(eager=True)
     levels.append(cur.withColumn("granularity", F.lit(granularities[0])))
     for g in granularities[1:]:
         cur = cur.groupBy(
             F.date_trunc(g, F.col("bucket")).alias("bucket"), *keys
-        ).agg(*aggs_next)
+        ).agg(*aggs_next).localCheckpoint(eager=True)
         levels.append(cur.withColumn("granularity", F.lit(g)))
     out = levels[0]
     for lv in levels[1:]:
