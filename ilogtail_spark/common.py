@@ -16,6 +16,32 @@ def md5_hash64(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def map_last_wins(entries: Column) -> Column:
+    """Fold an ``array<struct<key:string,value:string>>`` into a map
+    with OVERWRITE (last-wins) duplicate-key semantics.
+
+    ``map_from_entries`` / ``str_to_map`` THROW on duplicate keys under
+    Spark's default ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` — the
+    reference's key_value_splitter appends duplicates without error
+    (key_value_splitter.go:97-160), so a line like ``a=1&a=2`` must not
+    crash the job. The CLAUDE.md invariant: every map materialization
+    from user-controlled keys folds through this helper.
+
+    Cost is O(pairs²) per row in map_concat rebuilds — pairs-per-line
+    is bounded by the line length, and this never shuffles."""
+    empty = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    return F.aggregate(
+        entries,
+        empty,
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != e["key"]),
+            F.create_map(e["key"], e["value"]),
+        ),
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the
     input arrives in fewer partitions (e.g. one small parquet file).

@@ -158,8 +158,14 @@ def metadata_group(
     """
     from pyspark.sql import Window
 
-    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
-    w = Window.partitionBy(*keys).orderBy(order)
+    if order_col is None:
+        # monotonically_increasing_id() is nondeterministic across runs
+        # and task retries — pack assignment would be unstable
+        raise ValueError(
+            "metadata_group: order_col is required (pack chunking must "
+            "be deterministic across retries)"
+        )
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col))
     rn = F.row_number().over(w)
     chunk = F.floor((rn - 1) / F.lit(max_events))
     if size_col is not None:

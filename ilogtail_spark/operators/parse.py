@@ -447,16 +447,45 @@ def expand_json(
 # CSV / delimiter
 # ---------------------------------------------------------------------------
 
+_QS_SENTINEL = "\x00"  # NUL never appears in log-line text
+
+
 def quote_split(src: Column, sep: str, quote: str, limit: int = -1) -> Column:
-    """Quote-aware split: break on ``sep`` only where the quotes ahead
-    are balanced — separators inside a quoted region don't split
-    (split_char.go:34-184's scan, as one lookahead regex). Java-regex
-    only; the no-quote paths stay structural."""
+    """Quote-aware split: break on ``sep`` only outside quoted regions
+    (split_char.go:34-184's scan).
+
+    LINEAR structural plan — no java.util.regex in the hot path (regex
+    anti-scales on wide parallelism, and the previous balanced-quote
+    lookahead rescanned the rest of the line at every separator,
+    O(L·s) on long quoted CSV):
+      1. split on the quote char — segments alternate outside/inside
+         (quote-doubling escapes produce an empty outside segment, so
+         parity stays correct for any adjacent separator);
+      2. inside segments mask ``sep`` to a NUL sentinel;
+      3. re-join with the quote char (quotes preserved for
+         unquote_field) and split on ``sep``;
+      4. unmask the sentinel in each part.
+    Malformed input: a lone unbalanced quote glues the TAIL from the
+    quote onward into one field (the reference scanner extends the
+    field to the nearest closing quote; the old lookahead disabled
+    splitting for the WHOLE line — this form is strictly closer).
+    """
     import re as _re
 
-    q = _re.escape(quote)
-    pat = f"{_re.escape(sep)}(?=(?:[^{q}]*{q}[^{q}]*{q})*[^{q}]*$)"
-    return F.split(src, pat, limit)
+    segs = F.split(src, _re.escape(quote), -1)
+    masked = F.array_join(
+        F.transform(
+            segs,
+            lambda s, i: F.when(
+                i % 2 == 1, F.replace(s, F.lit(sep), F.lit(_QS_SENTINEL))
+            ).otherwise(s),
+        ),
+        quote,
+    )
+    parts = F.split(masked, _re.escape(sep), limit)
+    return F.transform(
+        parts, lambda p: F.replace(p, F.lit(_QS_SENTINEL), F.lit(sep))
+    )
 
 
 def unquote_field(c: Column, quote: str) -> Column:
@@ -550,8 +579,20 @@ def parse_kv(
     regex character class for multi-delimiter splits (the SPL test
     uses delims '&?').
     """
+    from ilogtail_spark.common import map_last_wins
+
     opts = options or ParserOptions()
-    parsed = F.str_to_map(F.col(source), F.lit(pair_sep), F.lit(kv_sep))
+    # NOT str_to_map: that throws on duplicate keys ('a=1&a=2') under
+    # the default EXCEPTION dedup policy — fold last-wins instead
+    # (key_value_splitter.go appends duplicates without error)
+    entries = F.transform(
+        F.split(F.col(source), pair_sep, -1),
+        lambda p: F.struct(
+            F.get(F.split(p, kv_sep, 2), 0).alias("key"),
+            F.get(F.split(p, kv_sep, 2), 1).alias("value"),
+        ),
+    )
+    parsed = map_last_wins(entries)
     ok = F.col(source).isNotNull() & F.col(source).contains(kv_sep)
     out = df.withColumn(attrs_col, F.when(ok, parsed))
     for k in expand or []:
@@ -626,9 +667,14 @@ def split_key_value(
             (acc["nk"] + (no_sep & ~F.lit(discard_no_sep)).cast("int")).alias("nk"),
         )
 
+    from ilogtail_spark.common import map_last_wins
+
     folded = F.aggregate(pairs, init, merge)
     ok = src.isNotNull()
-    out = df.withColumn(attrs_col, F.when(ok, F.map_from_entries(folded["entries"])))
+    # last-wins fold, NOT map_from_entries: a repeated key ('a=1\ta=2')
+    # throws under the default EXCEPTION dedup policy; the reference
+    # appends duplicates without error (key_value_splitter.go:97-160)
+    out = df.withColumn(attrs_col, F.when(ok, map_last_wins(folded["entries"])))
     for k in expand or []:
         out = out.withColumn(k, F.element_at(F.col(attrs_col), k))
     return _apply_failure_contract(out, source, ok, opts)

@@ -30,17 +30,39 @@ def _hash64(c: Column) -> Column:
 
 
 def _safe_repl(repl: str, rx: str) -> str:
-    """Prometheus expands references to unset capture groups as empty
-    strings; Java regexp_replace throws. Strip $k references beyond
-    the regex's group count at compile time."""
+    """Prometheus replacement strings → Java regexp_replace-safe form:
+    ``${n}`` normalizes to ``$n`` (both are valid Prometheus forms;
+    Java only takes the latter for numbered groups), references to
+    capture groups beyond the regex's group count become empty strings
+    (Prometheus expands unset groups as empty; Java throws), and any
+    remaining literal ``$`` / ``\\`` is escaped (Java throws on a
+    dangling ``$`` or ``\\``)."""
     import re as _re
 
     ngroups = _re.compile(rx).groups
-    return _re.sub(
-        r"\$(\d+)",
-        lambda m: m.group(0) if int(m.group(1)) <= ngroups else "",
-        repl,
-    )
+    out: list[str] = []
+    i = 0
+    while i < len(repl):
+        ch = repl[i]
+        if ch == "$":
+            if repl[i : i + 2] == "$$":  # Go Expand: $$ = literal $
+                out.append(r"\$")
+                i += 2
+                continue
+            m = _re.match(r"\$(\d+)|\$\{(\d+)\}", repl[i:])
+            if m:
+                n = int(m.group(1) or m.group(2))
+                if n <= ngroups:
+                    out.append(f"${n}")
+                i += m.end()
+                continue
+            out.append(r"\$")  # literal $ (no group ref follows)
+        elif ch == "\\":
+            out.append("\\\\")
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _set_label(labels: Column, key: str, value: Column) -> Column:
@@ -121,18 +143,11 @@ def prom_relabel(
             # overwrite semantics on renamed-key collisions (two meta
             # labels mapping to one name): fold with last-wins instead
             # of map_from_entries, which throws on duplicates
-            empty = F.map_from_arrays(
-                F.array().cast("array<string>"), F.array().cast("array<string>")
+            from ilogtail_spark.common import map_last_wins
+
+            df = df.withColumn(
+                labels_col, map_last_wins(F.concat(survivors, renamed))
             )
-            folded = F.aggregate(
-                F.concat(survivors, renamed),
-                empty,
-                lambda acc, e: F.map_concat(
-                    F.map_filter(acc, lambda k, _v: k != e["key"]),
-                    F.create_map(e["key"], e["value"]),
-                ),
-            )
-            df = df.withColumn(labels_col, folded)
         else:
             raise ValueError(f"prom_relabel: unknown action {action!r}")
         labels = F.col(labels_col)

@@ -325,3 +325,35 @@ def test_parse_delimiter_keep_overflow_raw_remainder(spark):
     ).first()
     assert out["f1"] == "x"
     assert out["f2"] == '"y,1","z","w"'  # glued remainder stays raw
+
+
+def test_kv_duplicate_keys_last_wins(spark):
+    """Duplicate keys must not throw under the default EXCEPTION map
+    dedup policy — last occurrence wins (the reference appends
+    duplicates without error, key_value_splitter.go:97-160)."""
+    from ilogtail_spark.operators.parse import split_key_value
+
+    df = _df(spark, ["a=1&a=2&b=3"])
+    out = parse_kv(df, pair_sep="&", kv_sep="=").first()
+    assert out["attrs"] == {"a": "2", "b": "3"}
+
+    df2 = _df(spark, ["a:1\ta:2\tb:3"])
+    out2 = split_key_value(
+        df2, pair_sep="\t", kv_sep=":", options=ParserOptions(keep_source=True)
+    ).first()
+    assert out2["attrs"] == {"a": "2", "b": "3"}
+
+
+def test_quote_split_doubled_quotes_and_unbalanced_tail(spark):
+    """Linear quote_split: quote-doubling keeps parity; an unbalanced
+    quote glues only the TAIL from the quote onward (the old lookahead
+    collapsed the whole line)."""
+    from ilogtail_spark.operators.parse import quote_split
+
+    df = spark.createDataFrame(
+        [('a,"b""c,d",e',), ("x,y,\"unclosed,tail",)], "t string"
+    )
+    out = df.select(quote_split(F.col("t"), ",", '"').alias("p")).collect()
+    assert out[0]["p"] == ["a", '"b""c,d"', "e"]
+    # seps before the unbalanced quote still split; tail glued
+    assert out[1]["p"] == ["x", "y", '"unclosed,tail']

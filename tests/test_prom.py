@@ -89,3 +89,35 @@ def test_relabel_labelmap_collision_overwrites(spark):
     labels = dict(out["labels"])
     assert labels["job"] == "api"
     assert labels["x"] in {"1", "2"}  # collision resolved by overwrite, no throw
+
+
+def test_relabel_brace_group_refs_and_literal_dollar(spark):
+    """ADVICE: ${1} (standard Prometheus form) must normalize to $1;
+    a literal $ in the replacement must not throw in Java regex."""
+    from ilogtail_spark.operators.prom import prom_relabel
+
+    df = spark.createDataFrame(
+        [(1, {"tool": "bash"})], "id int, labels map<string,string>"
+    )
+    out = prom_relabel(
+        df,
+        [
+            {
+                "action": "replace",
+                "source_labels": ["tool"],
+                "regex": "(ba.*)",
+                "target_label": "grp",
+                "replacement": "g_${1}",
+            },
+            {
+                "action": "replace",
+                "source_labels": ["tool"],
+                "regex": "(.*)",
+                "target_label": "cost",
+                # $$ = literal $ (Go Expand); $5 / ${2} = unset groups -> ""
+                "replacement": "$$5.00-${2}x$",
+            },
+        ],
+    ).first()
+    assert out["labels"]["grp"] == "g_bash"
+    assert out["labels"]["cost"] == "$5.00-x$"
