@@ -362,23 +362,41 @@ def as_of_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: list[str] | None = None,
+    strategy: str = "broadcast",  # broadcast | union_window
 ) -> DataFrame:
     """As-of (temporal latest-value) join: each left row picks up the
     most recent right row with ``right_ts <= left_ts`` for the same
     keys — the "config/version active at event time" enrichment the
     reference handles by reloading per-agent state between batches.
 
-    Spark plan: NO join at all. Tag and UNION both sides, then one
-    window per key ordered by (ts, side) running a
+    Two physical strategies:
+
+    ``broadcast`` (default — the right side is a config/version table,
+    small by nature): aggregate the right side to ONE row per key
+    holding a ts-sorted array of (ts, values) structs, broadcast-join
+    it onto the left, and resolve the as-of lookup as a narrow JVM
+    array expression (``array_max(filter(arr, ts <= left_ts))``).
+    Zero shuffle of the left side, no window — a low-cardinality key
+    (the common case: per-tool/per-host config) costs nothing instead
+    of funnelling every left row through one window task. Per-key
+    version counts ride the broadcast, so this holds while
+    Σ versions fits a broadcast (~10MB-1GB) — exactly the dict_map
+    contract.
+
+    ``union_window`` (large right side): tag and UNION both sides,
+    then one window per key ordered by (ts, side) running a
     last(value, ignorenulls) — right rows sort before left rows at
     equal timestamps, so the inclusive (<=) semantics fall out of the
     sort key. One shuffle on the keys, streaming O(1)-memory frame —
     versus a sort-merge join with an inequality post-filter that
     materializes every (event, older-version) candidate pair. Hot
-    keys serialize through one window task (inherent to per-key
-    ordering — same caveat as the reference's per-source ordering);
-    shard upstream by a coarser key if one key dominates.
+    keys serialize through one window task; shard upstream by a
+    composite (key, ts-bucket) if one key dominates.
     """
+    if strategy == "broadcast":
+        return _as_of_join_broadcast(left, right, keys, left_ts, right_ts, right_cols)
+    if strategy != "union_window":
+        raise ValueError(f"as_of_join: unknown strategy {strategy!r}")
     right_cols = right_cols or [
         c for c in right.columns if c not in keys and c != right_ts
     ]
@@ -424,6 +442,49 @@ def as_of_join(
     return unioned.filter(F.col("_side") == 1).drop(
         "_ts", "_side", *wrap.values()
     )
+
+
+def _as_of_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None,
+) -> DataFrame:
+    """Broadcast strategy for :func:`as_of_join` — per-key ts-sorted
+    version arrays resolved by a narrow array expression. Ties on
+    right_ts break by struct value order (deterministic)."""
+    right_cols = right_cols or [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"as_of_join: right_cols {sorted(clash)} collide with left columns — "
+            "rename one side"
+        )
+    r_agg = right.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(right_ts).alias("_ts"),
+                    *[F.col(c).alias(c) for c in right_cols],
+                )
+            )
+        ).alias("_asof_arr")
+    )
+    out = left.join(F.broadcast(r_agg), on=keys, how="left")
+    lts = F.col(left_ts)
+    # materialize the lookup once in its own projection (CollapseProject
+    # keeps multi-use non-cheap exprs), then project fields off it
+    out = out.withColumn(
+        "_asof_hit",
+        F.array_max(F.filter(F.col("_asof_arr"), lambda e: e["_ts"] <= lts)),
+    )
+    for c in right_cols:
+        out = out.withColumn(c, F.col("_asof_hit")[c])
+    return out.drop("_asof_arr", "_asof_hit")
 
 
 def log_to_metric(

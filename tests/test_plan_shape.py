@@ -98,3 +98,44 @@ def test_ngram_cap_blacklist_is_broadcast_anti_join(spark):
     )
     plan = _plan(ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=50))
     assert "LeftAnti" in plan and "BroadcastExchange" in plan
+
+
+def test_asof_join_broadcast_has_no_window(spark, sf_dir):
+    """De-skew guard: the default as_of_join strategy must not window
+    (or shuffle) the left side — a low-cardinality key (q51 joins on
+    `tool`, single-digit distinct) would funnel all rows through a
+    handful of window tasks."""
+    from ilogtail_spark.operators.transform import as_of_join
+    from ilogtail_spark.sources.transcripts import derive_transcripts
+
+    df = derive_transcripts(spark, sf_dir)
+    upd = (
+        df.filter(F.col("turn_idx") % 97 == 0)
+        .groupBy("tool", F.date_trunc("hour", "ts").alias("uts"))
+        .agg(F.max("turn_idx").alias("version"))
+    )
+    out = as_of_join(df, upd, ["tool"], "ts", "uts", ["version"])
+    plan = _plan(out)
+    assert "Window" not in plan, "as_of_join broadcast path must not window"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_ivf_assign_is_narrow(spark, sf_dir):
+    """IVF cell assignment must be a per-row argmax over the broadcast
+    centroid array — no Window, no non-broadcast Exchange of the
+    corpus (the final per-query top-k window is allowed; it ranks the
+    tiny candidate set)."""
+    from ilogtail_spark.functions.similarity import ivf_topk
+    from ilogtail_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    plan = _plan(out)
+    # exactly one Window exec node (final query-side top-k), none for
+    # assignment (WindowGroupLimit pushdown nodes don't count)
+    import re
+
+    assert len(re.findall(r"\bWindow \[", plan)) <= 1, plan
+    # the corpus must never shuffle on its own id for assignment
+    assert "hashpartitioning(neighbor_id" not in plan, plan

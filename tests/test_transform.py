@@ -172,9 +172,14 @@ def test_dictmap_csv_factory(spark, tmp_path):
     assert out == {"a": "human", "b": "Unknown"}
 
 
-def test_as_of_join_semantics(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("strategy", ["broadcast", "union_window"])
+def test_as_of_join_semantics(spark, strategy):
     """Latest right row at-or-before the left timestamp; no earlier
-    right row → null; equal timestamps are INCLUSIVE."""
+    right row → null; equal timestamps are INCLUSIVE — both physical
+    strategies agree."""
     from ilogtail_spark.operators.transform import as_of_join
 
     left = spark.createDataFrame(
@@ -187,7 +192,9 @@ def test_as_of_join_semantics(spark):
     )
     out = {
         r["ev"]: r["version"]
-        for r in as_of_join(left, right, ["key"], "ts", "ts", ["version"]).collect()
+        for r in as_of_join(
+            left, right, ["key"], "ts", "ts", ["version"], strategy=strategy
+        ).collect()
     }
     assert out == {
         "e1": None,     # before any version
@@ -208,8 +215,11 @@ def test_as_of_join_null_right_value_and_collision(spark):
     right = spark.createDataFrame(
         [("k", 1, "a"), ("k", 5, None)], "key string, ts int, cfg string"
     )
-    out = as_of_join(left, right, ["key"], "ts", "ts", ["cfg"]).first()
-    assert out["cfg"] is None  # latest version IS null, not 'a'
+    for strat in ("broadcast", "union_window"):
+        out = as_of_join(
+            left, right, ["key"], "ts", "ts", ["cfg"], strategy=strat
+        ).first()
+        assert out["cfg"] is None, strat  # latest version IS null, not 'a'
 
     clash_left = left.withColumnRenamed("ev", "cfg")
     with pytest.raises(ValueError, match="collide"):
