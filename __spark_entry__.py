@@ -211,7 +211,12 @@ def _q_spl_chain(spark: SparkSession, sf: str) -> DataFrame:
         "latency_ms = cast(latency_ms as int)\n"
         "| extend lat_bucket = case when latency_ms < 100 then 'fast' "
         "when latency_ms < 1000 then 'medium' else 'slow' end\n"
-        "| project conv_id, turn_idx, status, latency_ms, lat_bucket"
+        # Presto scalar surface (SplUnittest.cpp:657-660): date_parse
+        # (MySQL format tokens) + to_unixtime (double epoch seconds)
+        "| extend day = date_parse(cast(cast(ts as date) as varchar), "
+        "'%Y-%m-%d'), epoch_s = to_unixtime(cast(ts as timestamp))\n"
+        "| project conv_id, turn_idx, status, latency_ms, lat_bucket, "
+        "day, epoch_s"
     )
     return spl_transform(spl)(derive_transcripts(spark, sf))
 
@@ -387,10 +392,15 @@ def _q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_ngram_jaccard_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 near-dup pairs by exact n-gram Jaccard. The 0.3
+    threshold prunes the candidate set BEFORE the global top-k sort —
+    at 100× the colliding-pair set is the bottleneck, and every
+    planted near-dup scores ≥0.9 so the top-20 is unchanged (the
+    round-2 1e-9 threshold retained every colliding pair)."""
     from ilogtail_spark.functions.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=1e-9)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
     return pairs.orderBy(
         F.col("jaccard").desc(), F.col("id_a"), F.col("id_b")
     ).limit(20)
@@ -1040,6 +1050,26 @@ def _q_encrypt_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return decrypt_fields(enc, ["text"], secret="0123456789abcdef")
 
 
+def _q_spl_let_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """ProcessorSPL multi-output (.let fan-out, ProcessorSPL.cpp:113-154
+    / SplUnittest.cpp:562-650): the registry entry emits EVERY output
+    branch as one __sink__-tagged union — round 2 returned only the
+    first branch."""
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    fn = OPERATORS["processor_spl"](
+        Script=(
+            ".let long_turns = * | where role = 'assistant' "
+            "| extend txt_len = cast(length(text) as bigint) "
+            "| project conv_id, turn_idx, txt_len;"
+            ".let tool_turns = * | where tool != 'none' "
+            "| project conv_id, turn_idx, tool;"
+            "$long_turns; $tool_turns"
+        )
+    )
+    return fn(derive_transcripts(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1099,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_prom_parse": _q_prom_parse,
         "q56_sessionize": _q_sessionize,
         "q57_percentiles": _q_percentiles,
+        "q58_spl_let_fanout": _q_spl_let_fanout,
     }
 
 
@@ -1327,7 +1358,9 @@ def oracle_sql() -> dict[str, str]:
         + """SELECT conv_id, turn_idx, status, latency_ms,
                     CASE WHEN latency_ms < 100 THEN 'fast'
                          WHEN latency_ms < 1000 THEN 'medium'
-                         ELSE 'slow' END AS lat_bucket
+                         ELSE 'slow' END AS lat_bucket,
+                    strptime(CAST(CAST(ts AS DATE) AS VARCHAR), '%Y-%m-%d') AS day,
+                    epoch(ts) AS epoch_s
              FROM parsed WHERE role = 'assistant' AND parse_ok""",
         "q12_json_parse": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -1404,7 +1437,7 @@ def oracle_sql() -> dict[str, str]:
               FROM invf a JOIN invf b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id, a.n, b.n
            )
-           SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard > 0
+           SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.3
            ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
         "q24_simhash": _simhash_oracle(),
         "q25_doc_stats": _doc_stats_oracle(),
@@ -1468,6 +1501,16 @@ def oracle_sql() -> dict[str, str]:
                   round(quantile_cont(latency_ms, 0.99), 6) AS p99,
                   CAST(count(*) AS BIGINT) AS n
              FROM parsed WHERE parse_ok GROUP BY tool_call""",
+        "q58_spl_let_fanout": TRANSCRIPTS_CTE
+        + """SELECT conv_id, turn_idx,
+                  CAST(length(text) AS BIGINT) AS txt_len,
+                  'long_turns' AS __sink__,
+                  CAST(NULL AS VARCHAR) AS tool
+             FROM transcripts WHERE role = 'assistant'
+             UNION ALL
+             SELECT conv_id, turn_idx, CAST(NULL AS BIGINT),
+                    'tool_turns', tool
+             FROM transcripts WHERE tool <> 'none'""",
         "q55_prom_parse": TRANSCRIPTS_CTE
         + """SELECT conv_id, turn_idx,
                   tool <> 'none' AS parse_ok,

@@ -79,10 +79,113 @@ def _unquote(s: str) -> str:
 # SPL scalar functions → Spark SQL equivalents (pass-through otherwise)
 _FN_MAP = {"json_extract": "get_json_object", "json_extract_string": "get_json_object"}
 
+# MySQL/Presto datetime format tokens → JDK pattern
+# (date_parse in SplUnittest.cpp:657-660 uses the MySQL dialect)
+_MYSQL_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "l": "h", "i": "mm", "s": "ss",
+    "S": "ss", "f": "SSSSSS", "p": "a", "M": "MMMM", "b": "MMM",
+    "a": "EEE", "W": "EEEE", "j": "DDD", "T": "HH:mm:ss", "%": "%",
+}
+
+
+def _mysql_fmt_to_jdk(fmt: str) -> str:
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            if tok not in _MYSQL_FMT:
+                raise ValueError(f"SPL date_parse: unsupported format token %{tok}")
+            out.append(_MYSQL_FMT[tok])
+            i += 2
+        elif ch.isalpha():
+            # literal letters must be quoted in JDK patterns
+            out.append(f"'{ch}'")
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _find_call(expr: str, name: str, start: int = 0):
+    """Locate ``name( ... )`` outside quotes → (call_start, args_start,
+    close_paren_idx) or None."""
+    pat = re.compile(rf"(?<![\w.]){re.escape(name)}\s*\(")
+    m = pat.search(expr, start)
+    if not m:
+        return None
+    depth, i, quote = 1, m.end(), None
+    while i < len(expr):
+        ch = expr[i]
+        if quote:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return (m.start(), m.end(), i)
+        i += 1
+    raise ValueError(f"SPL: unbalanced parens in {expr!r}")
+
+
+def _rewrite_call(expr: str, name: str, build) -> str:
+    """Replace every ``name(args)`` with ``build([translated args])``."""
+    pos = 0
+    while True:
+        loc = _find_call(expr, name, pos)
+        if loc is None:
+            return expr
+        s, a, e = loc
+        args = [
+            _translate_expr(p.strip()) for p in _split_top(expr[a:e], ",")
+        ]
+        repl = build(args)
+        expr = expr[:s] + repl + expr[e + 1 :]
+        pos = s + len(repl)
+
+
+# Presto/SPL type names → Spark SQL type names (inside cast(... as T))
+_TYPE_MAP = {"varchar": "string", "real": "float", "json": "string"}
+
 
 def _translate_expr(expr: str) -> str:
+    """SPL (Presto-dialect) scalar expression → Spark SQL expression.
+    Covers the function surface the reference's SPL unittests exercise
+    (SplUnittest.cpp:152,565-660): json_extract*, date_parse,
+    to_unixtime, from_unixtime, cast with Presto type names. Unknown
+    functions pass through (Spark shares most of the ANSI surface)."""
     for spl, spark in _FN_MAP.items():
-        expr = re.sub(rf"\b{spl}\s*\(", f"{spark}(", expr)
+        expr = re.sub(rf"(?<![\w.]){spl}\s*\(", f"{spark}(", expr)
+    expr = _rewrite_call(
+        expr,
+        "date_parse",
+        lambda a: f"to_timestamp({a[0]}, '{_mysql_fmt_to_jdk(_unquote(a[1]))}')",
+    )
+    # Presto to_unixtime returns DOUBLE epoch seconds; Spark's
+    # cast(timestamp as double) is the exact equivalent
+    expr = _rewrite_call(expr, "to_unixtime", lambda a: f"cast(({a[0]}) as double)")
+    expr = _rewrite_call(
+        expr,
+        "from_unixtime",
+        lambda a: f"timestamp_seconds({a[0]})" if len(a) == 1
+        else f"from_unixtime({', '.join(a)})",
+    )
+    for presto_t, spark_t in _TYPE_MAP.items():
+        expr = re.sub(
+            rf"(?i)\bas\s+{presto_t}(\s*\(\s*\d+\s*\))?\s*\)",
+            f"as {spark_t})",
+            expr,
+        )
     return expr
 
 
@@ -291,8 +394,17 @@ def spl_compile(spl: str) -> list[Transform]:
     bindings and ``$name`` output statements — into one transform per
     OUTPUT branch (SplUnittest.cpp:562-650 multi-parse shape). Each
     transform takes the input DataFrame that ``*`` denotes."""
+    return [tr for _name, tr in spl_compile_named(spl)]
+
+
+def spl_compile_named(spl: str) -> list[tuple[str, Transform]]:
+    """:func:`spl_compile`, but each output branch carries a name —
+    the ``$name`` binding for let-ref outputs, ``out<i>`` for anonymous
+    pipelines — so multi-output scripts can fan out to named sinks the
+    way ProcessorSPL emits N output event groups
+    (ProcessorSPL.cpp:113-154)."""
     lets: dict[str, tuple[str, Transform]] = {}
-    outputs: list[tuple[str, Transform]] = []
+    outputs: list[tuple[str, str, Transform]] = []  # (name, ref, tail)
     for stmt in _split_top(spl, ";"):
         stmt = stmt.strip()
         if not stmt:
@@ -303,9 +415,10 @@ def spl_compile(spl: str) -> list[Transform]:
             lets[name] = _compile_pipeline(_split_top(body, "|"))
             continue
         if re.fullmatch(r"\$\w+", stmt):
-            outputs.append((stmt, lambda df: df))
+            outputs.append((stmt[1:], stmt, lambda df: df))
             continue
-        outputs.append(_compile_pipeline(_split_top(stmt, "|")))
+        ref, tr = _compile_pipeline(_split_top(stmt, "|"))
+        outputs.append((f"out{len(outputs)}", ref, tr))
 
     def resolve(ref: str, tail: Transform) -> Transform:
         chain: list[Transform] = [tail]
@@ -321,7 +434,7 @@ def spl_compile(spl: str) -> list[Transform]:
 
         return run
 
-    return [resolve(ref, tr) for ref, tr in outputs]
+    return [(name, resolve(ref, tr)) for name, ref, tr in outputs]
 
 
 from ilogtail_spark.operators.registry import register  # noqa: E402
@@ -330,7 +443,24 @@ from ilogtail_spark.operators.registry import register  # noqa: E402
 @register("processor_spl")
 def _spl_factory(**cfg):
     """ProcessorSPL (ProcessorSPL.cpp:113-154): config carries the SPL
-    Script; multi-output scripts yield the FIRST branch here (use
-    spl_compile directly for fan-out)."""
+    Script. A multi-output ``.let`` script emits ALL branches — the
+    reference produces one output event group per ``$ref`` — as one
+    DataFrame union tagged with the branch name in ``__sink__``
+    (schemas union by name; a column absent from a branch is NULL),
+    the same shape route_multicast feeds the sink writer."""
     script = cfg.get("Script", cfg.get("script"))
-    return spl_compile(script)[0]
+    sink_col = cfg.get("sink_col", "__sink__")
+    named = spl_compile_named(script)
+    if len(named) == 1:
+        return named[0][1]
+
+    def run(df):
+        branches = [
+            tr(df).withColumn(sink_col, F.lit(name)) for name, tr in named
+        ]
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b, allowMissingColumns=True)
+        return out
+
+    return run

@@ -145,3 +145,15 @@ def test_multimodal_resize_and_frame_sample_plumbing(spark):
     again = sample_frames(media, n_frames=3).collect()
     assert sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in frames) == \
            sorted((r["doc_id"], r["frame_idx"], bytes(r["frame"])) for r in again)
+
+
+def test_ngram_threshold_bounds_candidate_retention(spark, sf_dir):
+    """q23 scale guard: the thresholded pair set must be orders of
+    magnitude smaller than the full colliding-pair set (the top-k sort
+    input must not scale with every collision)."""
+    from ilogtail_spark.functions.dedup import ngram_jaccard_pairs
+    from ilogtail_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = ngram_jaccard_pairs(docs, threshold=0.3).count()
+    assert 0 < kept < 200, kept  # planted near-dups only, not all collisions
