@@ -777,32 +777,45 @@ def _q_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_prom_parse(spark: SparkSession, sf: str) -> DataFrame:
-    """processor_prom_parse_metric_native: exposition-format lines →
-    (__name__, labels, __value__, __ts_ms__); comment lines take the
-    failure path."""
-    from ilogtail_spark.operators.parse import parse_prom_metric
+    """Full Prometheus exposition grammar
+    (parse_prom_exposition over the TextParser.cpp sample parser):
+    '# TYPE'/'# HELP' metadata lines classify instead of failing,
+    histogram series fold into family/series/le, and samples pick up
+    their family's declared type via the broadcast metadata join."""
+    from ilogtail_spark.operators.parse import parse_prom_exposition
 
     df = derive_transcripts(spark, sf)
-    line = F.when(
-        F.col("tool") != "none",
-        F.concat(
-            F.lit('conv_turns{tool="'), F.col("tool"),
-            F.lit('",role="'), F.col("role"), F.lit('"} '),
-            F.col("turn_idx").cast("string"), F.lit(" "),
-            # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the
-            # cast is the identity rebase and millis match epoch_ms
-            F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
-        ),
-    ).otherwise(F.concat(F.lit("# comment "), F.col("text")))
-    out = parse_prom_metric(df.withColumn("prom", line), source="prom")
+    m = F.col("turn_idx") % 5
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp")).cast("string")
+    line = (
+        F.when(m == 0, F.lit("# TYPE conv_latency histogram"))
+        .when(m == 1, F.lit("# HELP conv_latency Latency histogram."))
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('conv_latency_bucket{le="0.5",tool="'), F.col("tool"),
+                F.lit('"} '), F.col("turn_idx").cast("string"),
+                F.lit(" "), ts_ms,
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(F.lit("conv_latency_count "), F.col("turn_idx").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("!bad "), F.col("text")))
+    )
+    out = parse_prom_exposition(df.withColumn("prom", line), source="prom")
     return out.select(
         "conv_id",
         "turn_idx",
+        F.col("__line_kind__").alias("line_kind"),
         F.col(PARSE_OK_KEY).alias("parse_ok"),
         F.col("__name__").alias("metric_name"),
+        F.col("__family__").alias("family"),
+        F.col("__series__").alias("series"),
+        F.col("__le__").alias("le"),
         F.col("__value__").alias("metric_value"),
-        F.element_at("labels", "tool").alias("l_tool"),
-        F.element_at("labels", "role").alias("l_role"),
+        F.col("__type__").alias("mtype"),
         F.col("__ts_ms__").alias("ts_ms"),
     )
 
@@ -1513,12 +1526,22 @@ def oracle_sql() -> dict[str, str]:
              FROM transcripts WHERE tool <> 'none'""",
         "q55_prom_parse": TRANSCRIPTS_CTE
         + """SELECT conv_id, turn_idx,
-                  tool <> 'none' AS parse_ok,
-                  CASE WHEN tool <> 'none' THEN 'conv_turns' END AS metric_name,
-                  CASE WHEN tool <> 'none' THEN CAST(turn_idx AS DOUBLE) END AS metric_value,
-                  CASE WHEN tool <> 'none' THEN tool END AS l_tool,
-                  CASE WHEN tool <> 'none' THEN role END AS l_role,
-                  CASE WHEN tool <> 'none' THEN epoch_ms(ts) END AS ts_ms
+                  CASE turn_idx % 5 WHEN 0 THEN 'type' WHEN 1 THEN 'help'
+                       WHEN 2 THEN 'sample' WHEN 3 THEN 'sample'
+                       ELSE 'invalid' END AS line_kind,
+                  (turn_idx % 5) IN (2, 3) AS parse_ok,
+                  CASE turn_idx % 5 WHEN 0 THEN 'conv_latency'
+                       WHEN 1 THEN 'conv_latency'
+                       WHEN 2 THEN 'conv_latency_bucket'
+                       WHEN 3 THEN 'conv_latency_count' END AS metric_name,
+                  CASE WHEN turn_idx % 5 <= 3 THEN 'conv_latency' END AS family,
+                  CASE turn_idx % 5 WHEN 2 THEN 'bucket'
+                       WHEN 3 THEN 'count' END AS series,
+                  CASE WHEN turn_idx % 5 = 2 THEN '0.5' END AS le,
+                  CASE WHEN turn_idx % 5 IN (2, 3)
+                       THEN CAST(turn_idx AS DOUBLE) END AS metric_value,
+                  CASE WHEN turn_idx % 5 <= 3 THEN 'histogram' END AS mtype,
+                  CASE WHEN turn_idx % 5 = 2 THEN epoch_ms(ts) END AS ts_ms
              FROM transcripts""",
         "q54_hypertable_rollup": PARSED_CTE
         + """,

@@ -913,7 +913,9 @@ def parse_prom_metric(
     """
     opts = options or ParserOptions()
     src = F.col(source)
-    value = F.regexp_extract(src, PROM_LINE_PATTERN, 3).cast("double")
+    # try_cast: a malformed value token ('name garbage') must take the
+    # failure path, not throw under ANSI mode
+    value = F.regexp_extract(src, PROM_LINE_PATTERN, 3).try_cast("double")
     ok = (
         src.isNotNull()
         & ~F.trim(src).startswith("#")
@@ -940,10 +942,98 @@ def parse_prom_metric(
     return _apply_failure_contract(out, source, ok, opts)
 
 
+PROM_META_PATTERN = r"^#\s*(TYPE|HELP)\s+([a-zA-Z_:][a-zA-Z0-9_:]*)\s+(.*?)\s*$"
+_PROM_FAMILY_SUFFIX = r"_(bucket|sum|count)$"
+
+
+def parse_prom_exposition(
+    df: DataFrame,
+    source: str = "text",
+    options: ParserOptions | None = None,
+    attach_metadata: bool = True,
+) -> DataFrame:
+    """Full Prometheus exposition grammar on top of
+    :func:`parse_prom_metric` (which mirrors the reference's scrape
+    TextParser — TextParser.cpp:50-67 SKIPS every ``#`` line via
+    IsValidMetric, Utils.cpp:102-113):
+
+      * ``# TYPE name t`` / ``# HELP name text`` metadata lines parse
+        into ``__line_kind__`` = type/help rows instead of failures;
+      * histogram/summary series structure: ``name_bucket``/``_sum``/
+        ``_count`` suffixes fold into ``__family__`` + ``__series__``
+        (bucket|sum|count|sample) with the ``le``/``quantile`` label
+        surfaced;
+      * ``attach_metadata``: samples pick up ``__type__`` from their
+        family's TYPE line via a broadcast self-join — distinct metric
+        names are tiny next to samples, so at 100 TB the sample scan
+        stays narrow while the name→type dictionary rides the
+        broadcast.
+    """
+    opts = options or ParserOptions()
+    if opts.discard_unmatch:
+        raise ValueError(
+            "parse_prom_exposition: discard_unmatch would drop TYPE/HELP "
+            "lines before they can be classified"
+        )
+    out = parse_prom_metric(df, source=source, options=opts)
+    # failed sample rows keep their text in source and/or raw_log_key
+    # (failure contract above); meta lines are always sample-failures
+    line = F.coalesce(F.col(source), F.col(opts.raw_log_key))
+    meta_kind = F.lower(F.regexp_extract(line, PROM_META_PATTERN, 1))
+    is_meta = line.isNotNull() & (meta_kind != "")
+    out = out.withColumn(
+        "__line_kind__",
+        F.when(F.col(PARSE_OK_KEY), F.lit("sample"))
+        .when(is_meta, meta_kind)
+        .otherwise(F.lit("invalid")),
+    )
+    out = out.withColumn(
+        "__name__",
+        F.when(is_meta, F.regexp_extract(line, PROM_META_PATTERN, 2)).otherwise(
+            F.col("__name__")
+        ),
+    )
+    out = out.withColumn(
+        "__meta_text__", F.when(is_meta, F.regexp_extract(line, PROM_META_PATTERN, 3))
+    )
+    suffix = F.regexp_extract(F.col("__name__"), _PROM_FAMILY_SUFFIX, 1)
+    out = out.withColumn(
+        "__series__",
+        F.when(F.col(PARSE_OK_KEY) & (suffix != ""), suffix).when(
+            F.col(PARSE_OK_KEY), F.lit("sample")
+        ),
+    )
+    out = out.withColumn(
+        "__family__",
+        F.when(
+            F.col("__name__").isNotNull(),
+            F.regexp_replace(F.col("__name__"), _PROM_FAMILY_SUFFIX, ""),
+        ),
+    )
+    out = out.withColumn("__le__", F.element_at("labels", "le"))
+    out = out.withColumn("__quantile__", F.element_at("labels", "quantile"))
+    if attach_metadata:
+        # TYPE declares the FAMILY name verbatim — join on the declared
+        # name, not the suffix-stripped family (a counter legitimately
+        # named *_count must not lose its declaration)
+        types = (
+            out.filter(F.col("__line_kind__") == "type")
+            .groupBy(F.col("__name__").alias("_mt_family"))
+            .agg(F.min("__meta_text__").alias("__type__"))
+        )
+        out = out.join(
+            F.broadcast(types), out["__family__"] == types["_mt_family"], "left"
+        ).drop("_mt_family")
+    return out
+
+
 @register("processor_prom_parse_metric_native")
 def _prom_parse_factory(**cfg):
     opts = _opts_from_config(cfg)
     source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    full = cfg_pop(cfg, "FullGrammar", "full_grammar", default=False)
+    if full:
+        return lambda df: parse_prom_exposition(df, source=source, options=opts)
     return lambda df: parse_prom_metric(df, source=source, options=opts)
 
 

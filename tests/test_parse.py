@@ -357,3 +357,36 @@ def test_quote_split_doubled_quotes_and_unbalanced_tail(spark):
     assert out[0]["p"] == ["a", '"b""c,d"', "e"]
     # seps before the unbalanced quote still split; tail glued
     assert out[1]["p"] == ["x", "y", '"unclosed,tail']
+
+
+def test_parse_prom_exposition_full_grammar(spark):
+    """TYPE/HELP metadata lines, histogram family folding, and
+    broadcast type attachment (the scrape TextParser itself skips all
+    '#' lines — TextParser.cpp:50-67, Utils.cpp:102-113 — this is the
+    full exposition grammar on top)."""
+    from ilogtail_spark.operators.parse import parse_prom_exposition
+
+    lines = [
+        "# HELP http_latency Request latency.",
+        "# TYPE http_latency histogram",
+        'http_latency_bucket{le="0.1"} 3',
+        'http_latency_bucket{le="+Inf"} 7',
+        "http_latency_sum 12.5",
+        "http_latency_count 7",
+        "# TYPE turns_total counter",
+        "turns_total 42",
+        "garbage line",
+    ]
+    df = _df(spark, lines)
+    out = parse_prom_exposition(df).orderBy("id").collect()
+    kinds = [r["__line_kind__"] for r in out]
+    assert kinds == ["help", "type", "sample", "sample", "sample",
+                     "sample", "type", "sample", "invalid"]
+    assert out[1]["__name__"] == "http_latency"
+    assert out[1]["__meta_text__"] == "histogram"
+    assert out[2]["__series__"] == "bucket" and out[2]["__le__"] == "0.1"
+    assert out[2]["__family__"] == "http_latency"
+    assert out[2]["__type__"] == "histogram"  # attached from TYPE line
+    assert out[4]["__series__"] == "sum" and out[4]["__type__"] == "histogram"
+    assert out[7]["__series__"] == "sample" and out[7]["__type__"] == "counter"
+    assert out[8]["__type__"] is None
