@@ -1083,6 +1083,34 @@ def _q_spl_let_fanout(spark: SparkSession, sf: str) -> DataFrame:
     return fn(derive_transcripts(spark, sf))
 
 
+def _q_multiline_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """S+E multiline with OVERLAPPING patterns — a ##MARK## line
+    matches Start AND End, so it opens a span when out and closes one
+    when in (ProcessorSplitMultilineLogStringNative.cpp:159-309; the
+    round-2 deviation, now exact). Markers inject by turn position:
+    %7∈{0,2}→MARK (both), 3→START, {5,6}→END; the oracle replays the
+    same 2-state DFA closed form in SQL."""
+    from ilogtail_spark.operators.split import split_multiline
+
+    df = derive_transcripts(spark, sf)
+    m = F.col("turn_idx") % 7
+    line = (
+        F.when(m.isin(0, 2), F.concat(F.lit("##MARK## "), F.col("text")))
+        .when(m == 3, F.concat(F.lit("##START## "), F.col("text")))
+        .when(m.isin(5, 6), F.concat(F.lit("##END## "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    out = split_multiline(
+        df.withColumn("line", line).select("conv_id", "turn_idx", "line"),
+        source="line",
+        order_col="turn_idx",
+        group_cols=["conv_id"],
+        start_pattern=r"^##(MARK|START)##",
+        end_pattern=r"^##(MARK|END)##",
+    )
+    return out.select("conv_id", "turn_idx", F.col("line").alias("text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1143,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_sessionize": _q_sessionize,
         "q57_percentiles": _q_percentiles,
         "q58_spl_let_fanout": _q_spl_let_fanout,
+        "q59_multiline_overlap": _q_multiline_overlap,
     }
 
 
@@ -1514,6 +1543,60 @@ def oracle_sql() -> dict[str, str]:
                   round(quantile_cont(latency_ms, 0.99), 6) AS p99,
                   CAST(count(*) AS BIGINT) AS n
              FROM parsed WHERE parse_ok GROUP BY tool_call""",
+        # DuckDB replay of the S+E 2-state DFA closed form
+        # (operators/split.py S+E branch): state before a line = last
+        # constant marker's state XOR parity of S∧E flip lines since
+        "q59_multiline_overlap": TRANSCRIPTS_CTE
+        + """,
+           l AS (
+             SELECT conv_id, turn_idx,
+                    CASE WHEN turn_idx % 7 IN (0, 2) THEN '##MARK## ' || text
+                         WHEN turn_idx % 7 = 3 THEN '##START## ' || text
+                         WHEN turn_idx % 7 IN (5, 6) THEN '##END## ' || text
+                         ELSE text END AS line,
+                    turn_idx % 7 IN (0, 2, 3) AS s,
+                    turn_idx % 7 IN (0, 2, 5, 6) AS e
+             FROM transcripts),
+           c AS (
+             SELECT *, (s AND e) AS flip,
+                    sum(CASE WHEN s AND e THEN 1 ELSE 0 END) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+             FROM l),
+           lc AS (
+             SELECT *, last_value(
+                      CASE WHEN s != e
+                           THEN struct_pack(is_in := s AND NOT e, cfm := cf) END
+                      IGNORE NULLS) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lcm
+             FROM c),
+           st AS (
+             SELECT *, coalesce(lcm.is_in, FALSE) !=
+                    (((cf - CASE WHEN flip THEN 1 ELSE 0 END
+                       - coalesce(lcm.cfm, 0)) % 2) = 1) AS state_in
+             FROM lc),
+           g AS (
+             SELECT *, (NOT state_in AND s) AS open_evt,
+                    sum(CASE WHEN NOT state_in AND s THEN 1 ELSE 0 END) OVER (
+                      PARTITION BY conv_id ORDER BY turn_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+             FROM st),
+           mt AS (
+             SELECT *, (state_in OR open_evt) AND
+                    max(CASE WHEN state_in AND e THEN 1 ELSE 0 END) OVER (
+                      PARTITION BY conv_id, gid) = 1 AS matched
+             FROM g),
+           merged AS (
+             SELECT conv_id, CAST(min(turn_idx) AS INTEGER) AS turn_idx,
+                    string_agg(line, chr(10) ORDER BY turn_idx) AS text
+             FROM (SELECT *, (row_number() OVER (
+                     PARTITION BY conv_id, gid ORDER BY turn_idx) - 1) // 256 AS sub
+                   FROM mt WHERE matched)
+             GROUP BY conv_id, gid, sub)
+           SELECT conv_id, turn_idx, text FROM merged
+           UNION ALL
+           SELECT conv_id, CAST(turn_idx AS INTEGER), line FROM mt WHERE NOT matched""",
         "q58_spl_let_fanout": TRANSCRIPTS_CTE
         + """SELECT conv_id, turn_idx,
                   CAST(length(text) AS BIGINT) AS txt_len,

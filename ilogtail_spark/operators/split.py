@@ -19,12 +19,12 @@ collect_list — the round-1 OOM/straggler risk on the hot key.
 
 Pattern-overlap corners: Start∧Continue and Continue∧End overlaps
 reproduce the reference's check order exactly (out-state re-opens at
-a Start mid-segment; an in-span Continue beats End). The one
-remaining documented deviation: a line matching BOTH Start and End
-in Start+End mode closes its own span immediately, where the
-reference would run to the next End — that case needs truly
-sequential state. Disjoint patterns — the only shape the reference's
-docs and unittests exercise — are exact in every mode.
+a Start mid-segment; an in-span Continue beats End), and Start∧End
+overlap in S+E mode is exact too — the reference's 2-state machine
+collapses to a closed form (last constant marker XOR flip parity, see
+the S+E branch) because every line's transition is const/flip/
+identity. All modes now match the reference on overlapping AND
+disjoint patterns.
 """
 
 from __future__ import annotations
@@ -197,23 +197,53 @@ def split_multiline(
         m = m.withColumn(
             "_matched", first_s.isNotNull() & (F.col(order_col) >= first_s)
         )
-    elif E and not C:  # E or S+E
+    elif S and E:  # S+E
+        # The reference runs a 2-state machine (out: Start opens a span
+        # — the opening line is NOT checked against End; in: End closes
+        # inclusively; EOF with an open span → unmatched,
+        # ProcessorSplitMultilineLogStringNative.cpp:159-309). Each
+        # line's transition is one of const-in (S-only), const-out
+        # (E-only), flip (S∧E — the overlap case), or identity, and
+        # 2-state DFA composition collapses: state before line i = the
+        # last constant marker's state XOR the parity of flip lines
+        # since it. That closed form makes the overlap EXACT (round-2's
+        # one documented multiline deviation) with three streaming
+        # windows on the same key — no sequential state needed.
+        flip = F.col("_s") & F.col("_e")
+        const_in = F.col("_s") & ~F.col("_e")
+        const_out = F.col("_e") & ~F.col("_s")
+        m = m.withColumn("_cf", F.sum(flip.cast("int")).over(w))
+        marker = F.when(
+            const_in | const_out,
+            F.struct(const_in.alias("is_in"), F.col("_cf").alias("cf")),
+        )
+        m = m.withColumn(
+            "_lc",
+            F.last(marker, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        flips_between = (
+            F.col("_cf") - flip.cast("int") - F.coalesce(F.col("_lc.cf"), F.lit(0))
+        )
+        state_in = F.coalesce(F.col("_lc.is_in"), F.lit(False)) != (
+            flips_between % 2 == 1
+        )  # base XOR flip parity
+        open_evt = ~state_in & F.col("_s")
+        m = m.withColumn("_gid", F.sum(open_evt.cast("int")).over(w))
+        m = m.withColumn("_inspan", state_in | open_evt)
+        m = m.withColumn("_close", (state_in & F.col("_e")).cast("int"))
+        wseg = Window.partitionBy(*group_cols, "_gid")
+        m = m.withColumn(
+            "_matched", F.col("_inspan") & (F.max(F.col("_close")).over(wseg) == 1)
+        )
+        m = m.drop("_cf", "_lc", "_inspan", "_close")
+    elif E and not C:  # E only
         m = m.withColumn(
             "_gid", F.sum(F.col("_e").cast("int")).over(w) - F.col("_e").cast("int")
         )
         m = m.withColumn("_tot_e", F.sum(F.col("_e").cast("int")).over(wfull))
-        has_end = F.col("_gid") < F.col("_tot_e")
-        if S:
-            wseg = Window.partitionBy(*group_cols, "_gid").orderBy(order_col).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-            first_s = F.min(F.when(F.col("_s"), F.col(order_col))).over(wseg)
-            m = m.withColumn(
-                "_matched",
-                has_end & first_s.isNotNull() & (F.col(order_col) >= first_s),
-            )
-        else:
-            m = m.withColumn("_matched", has_end)
+        m = m.withColumn("_matched", F.col("_gid") < F.col("_tot_e"))
         m = m.drop("_tot_e")
     elif C and E:
         prev_c = F.lag(F.col("_c"), 1, False).over(w)

@@ -244,3 +244,27 @@ def test_split_char_source_in_keys(spark):
     df = spark.createDataFrame([(0, "a|b")], "id int, text string")
     out = split_char(df, "text", "|", ["text", "y"]).first()
     assert out["text"] == "a" and out["y"] == "b"
+
+
+def test_multiline_start_end_overlap_exact(spark):
+    """A line matching BOTH Start and End (cpp:159-309): when out of a
+    span it OPENS one (the opening line is never End-checked); when in
+    a span it CLOSES it. Round 2's one documented multiline deviation,
+    now exact via the DFA closed form."""
+    # MARK matches both ^M patterns; lines: MARK opens, x content,
+    # MARK closes; second MARK opens, unterminated at EOF -> unmatched
+    df = _lines(spark, ["MARK", "x", "MARK", "MARK", "y"])
+    out = split_multiline(
+        df, "text", "line", ["conv_id"],
+        start_pattern=r"^MARK", end_pattern=r"^MARK|^STOP",
+    )
+    assert _merged(out) == [(0, "MARK\nx\nMARK"), (3, "MARK"), (4, "y")]
+
+    # mixed: END-only line while out is unmatched; S∧E line closes a
+    # span opened by a plain START
+    df2 = _lines(spark, ["END", "START", "a", "BOTH", "BOTH", "END"])
+    out2 = split_multiline(
+        df2, "text", "line", ["conv_id"],
+        start_pattern=r"^START|^BOTH", end_pattern=r"^END|^BOTH",
+    )
+    assert _merged(out2) == [(0, "END"), (1, "START\na\nBOTH"), (4, "BOTH\nEND")]
