@@ -1111,6 +1111,45 @@ def _q_multiline_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.col("line").alias("text"))
 
 
+def _q_geoip_config(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_geoip + processor_cloud_meta through the config-driven
+    registry (processor_geoip.go:35-53 with a CSV range table standing
+    in for the mmdb; cloud_meta.go:33-80 with the platformmeta mock
+    manager values): broadcast range join + constant metadata columns."""
+    import os
+    import tempfile
+
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    path = os.path.join(tempfile.gettempdir(), "ilogtail_spark_geoip_q60.csv")
+    base = 10 * 16777216
+    with open(path, "w") as fh:
+        fh.write("ip_start,ip_end,country,city\n")
+        for k in range(200):
+            fh.write(
+                f"{base + (k << 16)},{base + (k << 16) + 65535},"
+                f"C{k // 50},city{k // 20}\n"
+            )
+    chain = build_pipeline(
+        [
+            {
+                "type": "processor_cloud_meta",
+                "Metadata": ["__cloud_region__", "__cloud_instance_id__"],
+                "RenameMetadata": {"__cloud_region__": "cloud_region"},
+            },
+            {"type": "processor_geoip", "DBPath": path, "SourceKey": "client_ip"},
+        ]
+    )
+    df = derive_transcripts(spark, sf).withColumn(
+        "client_ip",
+        F.concat(F.lit("10."), (F.col("turn_idx") % 200).cast("string"), F.lit(".7.9")),
+    )
+    out = chain(df)
+    return out.groupBy(
+        "client_ip_country", "client_ip_city", "cloud_region", "__cloud_instance_id__"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1172,6 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_percentiles": _q_percentiles,
         "q58_spl_let_fanout": _q_spl_let_fanout,
         "q59_multiline_overlap": _q_multiline_overlap,
+        "q60_geoip_config": _q_geoip_config,
     }
 
 
@@ -1543,6 +1583,13 @@ def oracle_sql() -> dict[str, str]:
                   round(quantile_cont(latency_ms, 0.99), 6) AS p99,
                   CAST(count(*) AS BIGINT) AS n
              FROM parsed WHERE parse_ok GROUP BY tool_call""",
+        "q60_geoip_config": TRANSCRIPTS_CTE
+        + """SELECT 'C' || ((turn_idx % 200) // 50) AS client_ip_country,
+                  'city' || ((turn_idx % 200) // 20) AS client_ip_city,
+                  'region_xxx' AS cloud_region,
+                  'id_xxx' AS "__cloud_instance_id__",
+                  CAST(count(*) AS BIGINT) AS n_rows
+             FROM transcripts GROUP BY 1, 2""",
         # DuckDB replay of the S+E 2-state DFA closed form
         # (operators/split.py S+E branch): state before a line = last
         # constant marker's state XOR parity of S∧E flip lines since

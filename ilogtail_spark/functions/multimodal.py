@@ -41,12 +41,30 @@ def attach_binary_payload(
     )
 
 
+def _pil():
+    """Runtime-detected PIL — None when the image lacks it."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_media(payload: bytes) -> tuple[int, int]:
-    """STUB: real deployments plug PIL/libav here. Raises by default;
-    extract_features uses the deterministic fake instead."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this image"
-    )
+    """Decode (width, height) from an image payload via PIL when it is
+    installed; raises NotImplementedError otherwise (this container
+    ships no codecs — the deterministic fake below keeps the plumbing
+    testable either way)."""
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "media decode requires image libraries not present in this image"
+        )
+    import io
+
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
 
 
 RESIZE_SCHEMA = "doc_id long, width int, height int, thumb binary"
@@ -54,22 +72,41 @@ FRAMES_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
 
 def resize_media(
-    df: DataFrame, width: int = 64, height: int = 64, id_col: str = "doc_id"
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    id_col: str = "doc_id",
+    decoder: str = "fake",  # fake | pil
 ) -> DataFrame:
     """Resize plumbing: same Arrow-batched mapInPandas shape as a real
-    thumbnailer (PIL.thumbnail would slot into the marked line). The
-    deterministic fake emits a byte-repeated thumbnail of exactly
-    width*height bytes derived from the payload, so schema, batch
-    flow and output sizes are all real and testable."""
+    thumbnailer. ``decoder='pil'`` uses PIL when installed (resize to
+    exactly width×height, grayscale raw bytes — width*height bytes,
+    the same size contract as the fake); ``'fake'`` (default —
+    deterministic, oracle-checkable) emits a byte-repeated thumbnail
+    of exactly width*height bytes derived from the payload. Either
+    way schema, batch flow and output sizes are real and tested."""
     import numpy as np
+
+    use_pil = decoder == "pil"
+    if use_pil and _pil() is None:
+        raise NotImplementedError("decoder='pil' requires PIL in the image")
+
+    def fake_thumb(p: bytes) -> bytes:
+        rep = p * ((width * height) // max(len(p), 1) + 1)
+        return bytes(np.frombuffer(rep[: width * height], dtype=np.uint8))
+
+    def pil_thumb(p: bytes) -> bytes:
+        import io
+
+        Image = _pil()
+        with Image.open(io.BytesIO(p)) as im:
+            return im.resize((width, height)).convert("L").tobytes()
+
+    thumb_fn = pil_thumb if use_pil else fake_thumb
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            thumbs = [
-                # real decoder goes here (decode_media + resample)
-                bytes(np.frombuffer((p * ((width * height) // max(len(p), 1) + 1))[: width * height], dtype=np.uint8))
-                for p in pdf["payload"]
-            ]
+            thumbs = [thumb_fn(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

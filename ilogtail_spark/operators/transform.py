@@ -355,6 +355,69 @@ def geoip_enrich(
     return joined.drop("ip_start", "ip_end", "_ipnum")
 
 
+def load_geoip_csv(spark, path: str):
+    """MaxMind-style range CSV → ranges DataFrame for
+    :func:`geoip_enrich`. Header row names the columns; the first two
+    must be ``ip_start,ip_end`` (numeric). Driver-side read — the
+    range table is broadcast-sized by contract, exactly as
+    processor_geoip.go:57-60 opens the whole mmdb per worker."""
+    import csv
+
+    with open(path, newline="") as fh:
+        reader = csv.reader(fh)
+        header = next(reader)
+        if header[:2] != ["ip_start", "ip_end"]:
+            raise ValueError(
+                f"geoip: CSV header must start with ip_start,ip_end, got {header[:2]}"
+            )
+        rows = [(int(r[0]), int(r[1]), *r[2:]) for r in reader]
+    if not rows:
+        raise ValueError(f"geoip: empty ranges file {path}")
+    schema = ", ".join(
+        [f"{header[0]} long", f"{header[1]} long"]
+        + [f"{c} string" for c in header[2:]]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# platformmeta mock manager values (pkg/helper/platformmeta/mock.go) —
+# the deterministic stand-in for a live cloud-metadata endpoint
+MOCK_CLOUD_META = {
+    "__cloud_instance_id__": "id_xxx",
+    "__cloud_instance_name__": "name_xxx",
+    "__cloud_region__": "region_xxx",
+    "__cloud_zone__": "zone_xxx",
+    "__cloud_vpc_id__": "vpc_xxx",
+    "__cloud_vswitch_id__": "vswitch_xxx",
+    "__cloud_instance_type__": "type_xxx",
+    "__cloud_image_id__": "image_xxx",
+    "__cloud_max_ingress__": "0",
+    "__cloud_max_egress__": "0",
+}
+
+
+def cloud_meta(
+    df: DataFrame,
+    metadata: list[str],
+    rename: dict[str, str] | None = None,
+    meta_source: dict[str, str] | None = None,
+) -> DataFrame:
+    """processor_cloud_meta (cloud_meta.go:33-80,155-180): append the
+    selected platform metadata keys as constant columns, optionally
+    renamed (RenameMetadata). Metadata resolves DRIVER-side once — the
+    reference's ReadOnce path — so the values fold into the plan as
+    literals; unknown keys are skipped with the reference's
+    warning-not-error contract."""
+    src = meta_source or MOCK_CLOUD_META
+    rename = rename or {}
+    fields = {
+        rename.get(k, k): src[k] for k in metadata if k in src
+    }
+    if not fields:
+        raise ValueError("cloud_meta: Metadata selected no known keys")
+    return add_fields(df, fields)
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -680,6 +743,34 @@ def _dictmap_factory(**cfg):
         )
 
     return run
+
+
+@register("processor_geoip")
+def _geoip_factory(**cfg):
+    """processor_geoip (processor_geoip.go:35-53): DBPath carries the
+    range table (CSV with ip_start,ip_end,attr... header standing in
+    for the mmdb — no geoip2 reader in this environment); enrichment
+    columns are prefixed ``<SourceKey>_`` per the reference docs."""
+    path = cfg_pop(cfg, "DBPath", "db_path")
+    source = cfg_pop(cfg, "SourceKey", "source")
+    prefix = cfg_pop(cfg, "Prefix", "prefix", default=None) or f"{source}_"
+
+    def run(df):
+        ranges = load_geoip_csv(df.sparkSession, path)
+        return geoip_enrich(df, ranges, source, dest_prefix=prefix)
+
+    return run
+
+
+@register("processor_cloud_meta")
+def _cloud_meta_factory(**cfg):
+    metadata = cfg_pop(cfg, "Metadata", "metadata")
+    rename = cfg_pop(cfg, "RenameMetadata", "rename", default=None)
+    meta_source = cfg_pop(cfg, "Meta", "meta_source", default=None)
+    cfg_pop(cfg, "Platform", "platform", default="mock")  # mock manager only
+    return lambda df: cloud_meta(
+        df, metadata, rename=rename, meta_source=meta_source
+    )
 
 
 @register("processor_default")

@@ -157,3 +157,32 @@ def test_ngram_threshold_bounds_candidate_retention(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     kept = ngram_jaccard_pairs(docs, threshold=0.3).count()
     assert 0 < kept < 200, kept  # planted near-dups only, not all collisions
+
+
+def test_multimodal_pil_decoder_when_available(spark):
+    """The marked decode line is swappable: with PIL installed the
+    real path decodes/resizes actual image bytes; without it the
+    NotImplementedError contract holds (and this test skips the PIL
+    leg)."""
+    import pytest
+
+    from ilogtail_spark.functions.multimodal import _pil, decode_media, resize_media
+
+    if _pil() is None:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG...")
+        df = spark.createDataFrame([(1, b"xyz")], "doc_id long, payload binary")
+        with pytest.raises(NotImplementedError):
+            resize_media(df, 4, 4, decoder="pil")
+        pytest.skip("PIL not installed — real decode leg not exercisable here")
+    # real leg: build a tiny PNG in memory, decode + resize through Spark
+    import io
+
+    Image = _pil()
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 6), (10, 20, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert decode_media(png) == (8, 6)
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    out = resize_media(df, 4, 4, decoder="pil").first()
+    assert len(out["thumb"]) == 16
