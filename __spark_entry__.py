@@ -1150,6 +1150,79 @@ def _q_geoip_config(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def _q_string_replace(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_string_replace, all three methods
+    (processor_string_replace.go:41-56,143): regex (global), const,
+    and unquote."""
+    from ilogtail_spark.operators.transform import string_replace
+
+    df = derive_transcripts(spark, sf).withColumn(
+        "qtool", F.concat(F.lit('"'), F.col("tool"), F.lit('"'))
+    )
+    out = string_replace(
+        df, "text", r"latency_ms=\d+", "latency_ms=***", dest="masked"
+    )
+    out = string_replace(out, "masked", "status=", "code=", method="const")
+    out = string_replace(out, "qtool", "", "", dest="tool_unq", method="unquote")
+    return out.select("conv_id", "turn_idx", "masked", "tool_unq")
+
+
+def _q_group_info_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """extension_group_info_filter (group_info_filter.go:29-42,78+):
+    tag + meta regex conditions with Reverse inversion."""
+    from ilogtail_spark.operators.filters import group_info_filter
+    from ilogtail_spark.operators.transform import tag_native
+
+    df = tag_native(derive_transcripts(spark, sf), {"env": "prod"})
+    out = group_info_filter(
+        df,
+        tags={"env": "^pr"},
+        metas={
+            "role": "^(user|assistant)$",
+            "tool": {"pattern": "^(bash|read)", "reverse": True},
+        },
+    )
+    return out.select("conv_id", "turn_idx", "role", "tool")
+
+
+def _q_metadata_group(spark: SparkSession, sf: str) -> DataFrame:
+    """aggregator_metadata_group (aggregator_metadata_group.go:28-36,
+    62-110): deterministic __pack_id__ chunking — md5(keys) + event
+    chunk + running-byte chunk, both caps exercised."""
+    from ilogtail_spark.operators.agg import metadata_group
+
+    df = derive_transcripts(spark, sf)
+    out = metadata_group(
+        df, ["conv_id"], max_events=50, max_bytes=5000,
+        size_col="text", order_col="turn_idx",
+    )
+    return out.select("conv_id", "turn_idx", "__pack_id__")
+
+
+def _q_filter_key_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_filter_key_regex (processor_filter_key_regex.go:28-36,
+    117): keep rows whose dynamic attrs map HAS all include keys —
+    presence, not value, is the predicate."""
+    from ilogtail_spark.operators.filters import filter_key_regex
+
+    ev = load_table(spark, sf, "events").withColumn(
+        "kvline",
+        F.concat(
+            F.lit("user="), F.col("user_id").cast("string"),
+            F.lit("&type="), F.col("event_type"),
+            F.when(F.col("event_id") % 3 == 0, F.lit("&extra=1")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    parsed = parse_kv(
+        ev, source="kvline", pair_sep="&", kv_sep="=",
+        options=ParserOptions(keep_source=True),
+    )
+    out = filter_key_regex(parsed, include_keys=["extra"], attrs_col="attrs")
+    return out.select("event_id", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1212,6 +1285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_spl_let_fanout": _q_spl_let_fanout,
         "q59_multiline_overlap": _q_multiline_overlap,
         "q60_geoip_config": _q_geoip_config,
+        "q61_string_replace": _q_string_replace,
+        "q62_group_info_filter": _q_group_info_filter,
+        "q63_metadata_group": _q_metadata_group,
+        "q64_filter_key_regex": _q_filter_key_regex,
     }
 
 
@@ -1583,6 +1660,29 @@ def oracle_sql() -> dict[str, str]:
                   round(quantile_cont(latency_ms, 0.99), 6) AS p99,
                   CAST(count(*) AS BIGINT) AS n
              FROM parsed WHERE parse_ok GROUP BY tool_call""",
+        "q61_string_replace": TRANSCRIPTS_CTE
+        + r"""SELECT conv_id, turn_idx,
+                  replace(regexp_replace(text, 'latency_ms=\d+',
+                          'latency_ms=***', 'g'), 'status=', 'code=') AS masked,
+                  tool AS tool_unq
+             FROM transcripts""",
+        "q62_group_info_filter": TRANSCRIPTS_CTE
+        + """SELECT conv_id, turn_idx, role, tool
+             FROM transcripts
+             WHERE regexp_matches(role, '^(user|assistant)$')
+               AND NOT regexp_matches(tool, '^(bash|read)')""",
+        "q63_metadata_group": TRANSCRIPTS_CTE
+        + """SELECT conv_id, turn_idx,
+                  md5(conv_id) || '-' || CAST(
+                    (row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                     - 1) // 50
+                    + coalesce(sum(strlen(text)) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      // 5000 AS VARCHAR) AS "__pack_id__"
+             FROM transcripts""",
+        "q64_filter_key_regex": """
+            SELECT event_id, event_type FROM events WHERE event_id % 3 = 0""",
         "q60_geoip_config": TRANSCRIPTS_CTE
         + """SELECT 'C' || ((turn_idx % 200) // 50) AS client_ip_country,
                   'city' || ((turn_idx % 200) // 20) AS client_ip_city,
