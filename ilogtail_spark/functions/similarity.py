@@ -164,21 +164,38 @@ def ivf_topk(
     # a narrow per-row argmax (sort a 16-element inline array), not a
     # corpus-wide Window.partitionBy(id) shuffle — the round-2 verdict's
     # needless full shuffle of every corpus vector
+    # centroid norms ride the broadcast; the row vector's norm
+    # materializes ONCE per row — 16 inline cosines then cost one dot
+    # each instead of three aggregate folds (dot + 2 norms). The
+    # division keeps the exact same float op order as cosine(), so
+    # scores stay bit-identical to the oracle.
     cents_arr = cents.agg(
-        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("_cents")
+        F.collect_list(
+            F.struct(F.col("cid"), F.col("cv"), norm(F.col("cv")).alias("cvn"))
+        ).alias("_cents")
     )
 
     def assign(df: DataFrame, idname: str, vecname: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents_arr))
-        # (neg cos, cid) structs: ascending array_sort = cos desc, cid
-        # asc — the same tie-break as the previous window ranking
+        scored = df.crossJoin(F.broadcast(cents_arr)).withColumn(
+            "_vn", norm(F.col(vecname))
+        )
+        # (neg cos, cid) structs: ascending order = cos desc, cid asc —
+        # the same tie-break as the previous window ranking
         ranked = F.transform(
             F.col("_cents"),
             lambda c: F.struct(
-                (-F.round(cosine(F.col(vecname), c["cv"]), 6)).alias("_ncos"),
+                (
+                    -F.round(
+                        dot(F.col(vecname), c["cv"]) / (F.col("_vn") * c["cvn"]), 6
+                    )
+                ).alias("_ncos"),
                 c["cid"].alias("cid"),
             ),
         )
+        if n == 1:
+            # min of (neg cos, cid) = highest cos, smallest cid on ties
+            best = F.array_min(ranked)  # O(16), no sort
+            return scored.select(idname, vecname, best["cid"].alias("cid"))
         top = F.slice(F.array_sort(ranked), 1, n)
         return (
             scored.withColumn("_t", F.explode(top))
