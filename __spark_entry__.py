@@ -1223,6 +1223,227 @@ def _q_filter_key_regex(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "event_type")
 
 
+def _avs(s=None, i=None, d=None, b=None):
+    """OTLP AnyValue struct with exactly one arm set (to_json omits the
+    null arms, so the built JSON matches real OTLP payloads)."""
+    return F.struct(
+        (F.lit(None).cast("string") if s is None else s).alias("stringValue"),
+        (F.lit(None).cast("string") if i is None else i.cast("string")).alias(
+            "intValue"
+        ),
+        (F.lit(None).cast("double") if d is None else d.cast("double")).alias(
+            "doubleValue"
+        ),
+        (F.lit(None).cast("boolean") if b is None else b).alias("boolValue"),
+    )
+
+
+def _kv(key, value):
+    return F.struct(F.lit(key).alias("key"), value.alias("value"))
+
+
+def _q_otel_trace(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_otel_trace, Format=json
+    (processor_otel_trace.go:68-115 → otlp_trace_parser.go:112-216):
+    build a real OTLP/JSON trace document per turn (resource attrs with
+    host.name/service.name shortcuts + typed extras, one scope, one
+    span with typed attributes, conditional events/links, status), then
+    decode it back to the reference's 18-field span row."""
+    df = derive_transcripts(spark, sf)
+    t = F.col("turn_idx")
+    ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    lat_ns = (t % 1000 + 1) * 1000000
+    trace_id = F.md5(F.col("conv_id"))
+    span_id = F.substring(
+        F.md5(F.concat(F.col("conv_id"), F.lit(":"), t.cast("string"))), 1, 16
+    )
+    parent_id = F.when(t == 0, F.lit("")).otherwise(
+        F.substring(
+            F.md5(F.concat(F.col("conv_id"), F.lit(":"), (t - 1).cast("string"))),
+            1, 16,
+        )
+    )
+    link_id = F.substring(
+        F.md5(F.concat(F.col("conv_id"), F.lit(":link"))), 1, 16
+    )
+    span = F.struct(
+        trace_id.alias("traceId"),
+        span_id.alias("spanId"),
+        parent_id.alias("parentSpanId"),
+        F.concat(F.lit("op:"), F.col("tool")).alias("name"),
+        (t % 6).alias("kind"),
+        ts_ns.cast("string").alias("startTimeUnixNano"),
+        (ts_ns + lat_ns).cast("string").alias("endTimeUnixNano"),
+        F.array(
+            _kv("flag", _avs(b=t % 2 == 0)),
+            _kv("ratio", _avs(d=(t % 4) * 0.25)),
+            _kv("role", _avs(s=F.col("role"))),
+            _kv("turn", _avs(i=t)),
+        ).alias("attributes"),
+        F.when(
+            t % 3 == 0,
+            F.array(F.struct(
+                (ts_ns + 500).cast("string").alias("timeUnixNano"),
+                F.lit("ev").alias("name"),
+                F.array(
+                    _kv("k", _avs(s=F.concat(F.lit("x"), t.cast("string"))))
+                ).alias("attributes"),
+            )),
+        ).alias("events"),
+        F.when(
+            t % 5 == 0,
+            F.array(F.struct(
+                trace_id.alias("traceId"),
+                link_id.alias("spanId"),
+                F.expr(
+                    "cast(array() as array<struct<key:string,"
+                    "value:struct<stringValue:string>>>)"
+                ).alias("attributes"),
+            )),
+        ).alias("links"),
+        F.when(t % 4 == 0, F.lit("k=v")).otherwise(F.lit("")).alias("traceState"),
+        F.struct(
+            (t % 3).alias("code"),
+            F.when(t % 3 == 2, F.lit("boom")).otherwise(F.lit("")).alias(
+                "message"
+            ),
+        ).alias("status"),
+    )
+    doc = F.to_json(F.struct(
+        F.array(F.struct(
+            F.struct(F.array(
+                _kv("host.name", _avs(s=F.concat(F.lit("h-"),
+                                                 (t % 4).cast("string")))),
+                _kv("service.name", _avs(s=F.col("tool"))),
+                _kv("region", _avs(s=F.col("role"))),
+                _kv("zone.id", _avs(i=t % 8)),
+            ).alias("attributes")).alias("resource"),
+            F.array(F.struct(
+                F.struct(
+                    F.lit("ilogtail.test").alias("name"),
+                    F.lit("1.0").alias("version"),
+                ).alias("scope"),
+                F.array(span).alias("spans"),
+            )).alias("scopeSpans"),
+        )).alias("resourceSpans"),
+    ))
+    from ilogtail_spark.operators.otel import otel_trace_parse
+
+    return otel_trace_parse(
+        df.withColumn("otel", doc), "otel", keep=["conv_id", "turn_idx"]
+    )
+
+
+def _q_otel_metric(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_otel_metric, Format=json
+    (processor_otel_metric.go:66-100 → otlp_metric_parser.go:48-298):
+    per turn one OTLP metric document whose type cycles through
+    gauge / sum / histogram / summary / exponentialHistogram — all
+    five fan-outs, suffix schemes, cumulative le buckets, quantile
+    labels, exponential bucket field names and exemplar rows."""
+    df = derive_transcripts(spark, sf)
+    t = F.col("turn_idx")
+    ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    resource = F.struct(F.array(
+        _kv("app", _avs(s=F.col("tool"))),
+        _kv("host.name", _avs(s=F.concat(F.lit("h-"), (t % 4).cast("string")))),
+    ).alias("attributes"))
+    dp_attrs = F.array(
+        _kv("path", _avs(s=F.concat(F.lit("/p/"), (t % 8).cast("string"))))
+    )
+    exemplars = F.when(
+        t % 2 == 0,
+        F.array(F.struct(
+            (ts_ns + 1).cast("string").alias("timeUnixNano"),
+            (t.cast("double") * 0.125).alias("asDouble"),
+            F.substring(F.md5(F.col("conv_id")), 1, 16).alias("traceId"),
+            F.lit("").alias("spanId"),
+            F.array(_kv("x", _avs(i=F.lit(1)))).alias("filteredAttributes"),
+        )),
+    )
+
+    def metric(body, field):
+        return F.to_json(F.struct(F.array(F.struct(
+            resource.alias("resource"),
+            F.array(F.struct(
+                F.array(F.struct(
+                    F.lit("lat").alias("name"), body.alias(field),
+                )).alias("metrics"),
+            )).alias("scopeMetrics"),
+        )).alias("resourceMetrics")))
+
+    gauge = metric(F.struct(F.array(F.struct(
+        dp_attrs.alias("attributes"),
+        ts_ns.cast("string").alias("timeUnixNano"),
+        ((t % 7).cast("double") * 0.5).alias("asDouble"),
+        exemplars.alias("exemplars"),
+    )).alias("dataPoints")), "gauge")
+    msum = metric(F.struct(
+        F.array(F.struct(
+            dp_attrs.alias("attributes"),
+            ts_ns.cast("string").alias("timeUnixNano"),
+            t.cast("string").alias("asInt"),
+        )).alias("dataPoints"),
+        (t % 2 == 0).alias("isMonotonic"),
+    ), "sum")
+    hist = metric(F.struct(F.array(F.struct(
+        dp_attrs.alias("attributes"),
+        ts_ns.cast("string").alias("timeUnixNano"),
+        (t % 3 + 3).cast("string").alias("count"),
+        (t % 5).cast("double").alias("sum"),
+        F.lit(0.0).alias("min"),
+        F.lit(3.0).alias("max"),
+        F.array(
+            (t % 3).cast("string"), F.lit("1"), F.lit("0"), F.lit("2")
+        ).alias("bucketCounts"),
+        F.array(F.lit(1.0), F.lit(10.0), F.lit(100.0)).alias("explicitBounds"),
+    )).alias("dataPoints")), "histogram")
+    summ = metric(F.struct(F.array(F.struct(
+        dp_attrs.alias("attributes"),
+        ts_ns.cast("string").alias("timeUnixNano"),
+        (t % 4).cast("string").alias("count"),
+        (t.cast("double") * 0.5).alias("sum"),
+        F.array(
+            F.struct(F.lit(0.5).alias("quantile"),
+                     ((t % 9).cast("double") * 1.5).alias("value")),
+            F.struct(F.lit(0.99).alias("quantile"),
+                     ((t % 9).cast("double") * 2.0).alias("value")),
+        ).alias("quantileValues"),
+    )).alias("dataPoints")), "summary")
+    ehist = metric(F.struct(F.array(F.struct(
+        dp_attrs.alias("attributes"),
+        ts_ns.cast("string").alias("timeUnixNano"),
+        F.lit("5").alias("count"),
+        (t % 3).cast("double").alias("sum"),
+        F.lit(0.0).alias("min"),
+        F.lit(2.0).alias("max"),
+        (t % 2).cast("string").alias("zeroCount"),
+        F.lit(0).alias("scale"),
+        F.struct(
+            F.lit(-1).alias("offset"),
+            F.array((t % 2 + 1).cast("string"), F.lit("2")).alias(
+                "bucketCounts"
+            ),
+        ).alias("positive"),
+        F.struct(
+            F.lit(0).alias("offset"),
+            F.array(F.lit("1")).alias("bucketCounts"),
+        ).alias("negative"),
+    )).alias("dataPoints")), "exponentialHistogram")
+    doc = (
+        F.when(t % 5 == 0, gauge)
+        .when(t % 5 == 1, msum)
+        .when(t % 5 == 2, hist)
+        .when(t % 5 == 3, summ)
+        .otherwise(ehist)
+    )
+    from ilogtail_spark.operators.otel import otel_metric_parse
+
+    return otel_metric_parse(
+        df.withColumn("otel", doc), "otel", keep=["conv_id", "turn_idx"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1289,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_group_info_filter": _q_group_info_filter,
         "q63_metadata_group": _q_metadata_group,
         "q64_filter_key_regex": _q_filter_key_regex,
+        "q65_otel_trace": _q_otel_trace,
+        "q66_otel_metric": _q_otel_metric,
     }
 
 
@@ -1683,6 +1906,139 @@ def oracle_sql() -> dict[str, str]:
              FROM transcripts""",
         "q64_filter_key_regex": """
             SELECT event_id, event_type FROM events WHERE event_id % 3 = 0""",
+        # expected span rows computed directly from the fixture's closed
+        # form — the Spark side builds the OTLP/JSON doc and round-trips
+        # it through from_json + the otlp_trace_parser.go field layout
+        "q65_otel_trace": TRANSCRIPTS_CTE
+        + """SELECT conv_id, turn_idx,
+                  'h-' || (turn_idx % 4) AS host,
+                  tool AS service,
+                  '{"region":' || to_json(role) || ',"zone.id":'
+                    || (turn_idx % 8) || '}' AS resource,
+                  'ilogtail.test' AS "otlp.name",
+                  '1.0' AS "otlp.version",
+                  md5(conv_id) AS traceID,
+                  substr(md5(conv_id || ':' || turn_idx), 1, 16) AS spanID,
+                  CASE WHEN turn_idx = 0 THEN ''
+                       ELSE substr(md5(conv_id || ':' || (turn_idx - 1)), 1, 16)
+                  END AS parentSpanID,
+                  CASE turn_idx % 6 WHEN 1 THEN 'internal' WHEN 2 THEN 'server'
+                       WHEN 3 THEN 'client' WHEN 4 THEN 'producer'
+                       WHEN 5 THEN 'consumer' ELSE '' END AS kind,
+                  'op:' || tool AS name,
+                  CASE WHEN turn_idx % 5 = 0
+                       THEN '[{"attribute":{},"spanID":"'
+                            || substr(md5(conv_id || ':link'), 1, 16)
+                            || '","traceID":"' || md5(conv_id) || '"}]'
+                       ELSE '[]' END AS links,
+                  CASE WHEN turn_idx % 3 = 0
+                       THEN '[{"attribute":{"k":"x' || turn_idx
+                            || '"},"name":"ev","time":'
+                            || (epoch_us(ts) * 1000 + 500) || '}]'
+                       ELSE '[]' END AS logs,
+                  CASE WHEN turn_idx % 4 = 0 THEN 'k=v' ELSE '' END
+                    AS traceState,
+                  epoch_us(ts) AS start,
+                  epoch_us(ts) + (turn_idx % 1000 + 1) * 1000 AS "end",
+                  CAST((turn_idx % 1000 + 1) * 1000 AS BIGINT) AS duration,
+                  '{"flag":' || CASE WHEN turn_idx % 2 = 0 THEN 'true'
+                                     ELSE 'false' END
+                    || ',"ratio":' || CASE turn_idx % 4 WHEN 0 THEN '0'
+                         WHEN 1 THEN '0.25' WHEN 2 THEN '0.5'
+                         ELSE '0.75' END
+                    || ',"role":' || to_json(role)
+                    || ',"turn":' || turn_idx || '}' AS attribute,
+                  CASE turn_idx % 3 WHEN 1 THEN 'OK' WHEN 2 THEN 'ERROR'
+                       ELSE 'UNSET' END AS statusCode,
+                  CASE WHEN turn_idx % 3 = 2 THEN 'boom' ELSE '' END
+                    AS statusMessage,
+                  (epoch_us(ts) * 1000 + (turn_idx % 1000 + 1) * 1000000)
+                    // 1000000000 AS "time"
+             FROM transcripts""",
+        # expected SLS metric rows per datapoint type; the cumulative /
+        # exponential bucket values and label joins replay
+        # otlp_metric_parser.go closed-form
+        "q66_otel_metric": TRANSCRIPTS_CTE
+        + """,
+           b AS (
+             SELECT conv_id, turn_idx AS t, epoch_us(ts) * 1000 AS tn,
+                    'app#$#' || tool || '|host.name#$#h-' || (turn_idx % 4)
+                      AS rl,
+                    'path#$#/p/' || (turn_idx % 8) AS pl
+             FROM transcripts)
+           SELECT conv_id, t AS turn_idx, __name__, __labels__,
+                  __time_nano__, __value__ FROM (
+             SELECT conv_id, t, 'lat' AS __name__,
+                    rl || '|' || pl AS __labels__, tn AS __time_nano__,
+                    CAST(t % 7 AS DOUBLE) * 0.5 AS __value__
+             FROM b WHERE t % 5 = 0
+             UNION ALL
+             SELECT conv_id, t, 'lat_exemplars',
+                    rl || '|' || pl || '|traceId#$#'
+                      || substr(md5(conv_id), 1, 16) || '|x#$#1',
+                    tn + 1, CAST(t AS DOUBLE) * 0.125
+             FROM b WHERE t % 5 = 0 AND t % 2 = 0
+             UNION ALL
+             SELECT conv_id, t, 'lat',
+                    rl || '|otlp.metric.ismonotonic#$#'
+                      || CASE WHEN t % 2 = 0 THEN 'true' ELSE 'false' END
+                      || '|' || pl,
+                    tn, CAST(t AS DOUBLE)
+             FROM b WHERE t % 5 = 1
+             UNION ALL
+             SELECT conv_id, t, 'lat_sum', rl || '|' || pl, tn, 2.0
+             FROM b WHERE t % 5 = 2
+             UNION ALL
+             SELECT conv_id, t, 'lat_max', rl || '|' || pl, tn, 3.0
+             FROM b WHERE t % 5 = 2
+             UNION ALL
+             SELECT conv_id, t, 'lat_count', rl || '|' || pl, tn,
+                    CAST(t % 3 + 3 AS DOUBLE)
+             FROM b WHERE t % 5 = 2
+             UNION ALL
+             SELECT conv_id, t, 'lat_bucket',
+                    rl || '|le#$#' || x.le || '|' || pl, tn,
+                    CAST(t % 3 AS DOUBLE) + x.inc
+             FROM b, (VALUES ('1', 0.0), ('10', 1.0), ('100', 1.0),
+                             ('+Inf', 3.0)) AS x(le, inc)
+             WHERE t % 5 = 2
+             UNION ALL
+             SELECT conv_id, t, 'lat_sum', rl || '|' || pl, tn,
+                    CAST(t AS DOUBLE) * 0.5
+             FROM b WHERE t % 5 = 3
+             UNION ALL
+             SELECT conv_id, t, 'lat_count', rl || '|' || pl, tn,
+                    CAST(t % 4 AS DOUBLE)
+             FROM b WHERE t % 5 = 3
+             UNION ALL
+             SELECT conv_id, t, 'lat',
+                    rl || '|' || pl || '|quantile#$#' || x.q, tn,
+                    CAST(t % 9 AS DOUBLE) * x.m
+             FROM b, (VALUES ('0.5', 1.5), ('0.99', 2.0)) AS x(q, m)
+             WHERE t % 5 = 3
+             UNION ALL
+             SELECT conv_id, t, 'lat_sum', rl || '|' || pl, tn,
+                    CAST(t % 3 AS DOUBLE)
+             FROM b WHERE t % 5 = 4 AND t % 3 <> 0
+             UNION ALL
+             SELECT conv_id, t, 'lat_max', rl || '|' || pl, tn, 2.0
+             FROM b WHERE t % 5 = 4
+             UNION ALL
+             SELECT conv_id, t, 'lat_count', rl || '|' || pl, tn, 5.0
+             FROM b WHERE t % 5 = 4
+             UNION ALL
+             SELECT conv_id, t, 'lat_bucket',
+                    rl || '|le#$#' || x.le || '|' || pl, tn,
+                    CASE x.le WHEN '(0.5,1]' THEN CAST(t % 2 + 1 AS DOUBLE)
+                         WHEN '(1,2]' THEN 2.0 WHEN '[-2,-1)' THEN 1.0
+                         WHEN 'positive.offset' THEN -1.0
+                         WHEN 'negative.offset' THEN 0.0
+                         ELSE CAST(t % 2 AS DOUBLE) END
+             FROM b, (VALUES ('(0.5,1]'), ('(1,2]'), ('[-2,-1)'),
+                             ('positive.offset'), ('negative.offset'),
+                             ('zero.count')) AS x(le)
+             WHERE t % 5 = 4
+           )""",
         "q60_geoip_config": TRANSCRIPTS_CTE
         + """SELECT 'C' || ((turn_idx % 200) // 50) AS client_ip_country,
                   'city' || ((turn_idx % 200) // 20) AS client_ip_city,
