@@ -564,157 +564,168 @@ def otel_metric_parse(
         .select(*keep, "_rlbl", F.explode(F.col("_sm")["metrics"]).alias("_m"))
     )
     m = F.col("_m")
-    rlbl = F.col("_rlbl")
     name = F.coalesce(m["name"], F.lit(""))
     empty_rows = F.expr(f"cast(array() as array<{_ROW_T}>)")
+    no_lbl = F.expr("cast(array() as array<struct<k:string,v:string>>)")
 
-    def number_rows(dps: Column, extra_lbl) -> Column:
-        """gauge2Logs / sum2Logs shape: exemplars + the value row."""
-        return F.flatten(F.transform(
-            dps,
-            lambda dp: F.concat(
-                _exemplar_rows(
-                    name, F.concat(rlbl, _kv_strs(dp["attributes"]), extra_lbl),
-                    dp["exemplars"],
-                ),
-                F.array(_row(
-                    name,
-                    F.concat(rlbl, _kv_strs(dp["attributes"]), extra_lbl),
-                    dp["timeUnixNano"],
-                    F.coalesce(dp["asDouble"], dp["asInt"].try_cast("double"),
-                               F.lit(0.0)),
-                )),
-            ),
+    # normalize the five datapoint shapes into one struct so the row
+    # builders below compile ONCE (the naive per-type inline form
+    # re-instantiated the label/row expressions ~25x and spent ~10 s in
+    # codegen before the first row moved)
+    null_of = lambda t: F.lit(None).cast(t)  # noqa: E731
+
+    def _ndp(typ, dp, num=None, summ=None, smin=None, smax=None, cnt=None,
+             bcounts=None, bounds=None, quants=None, zero=None, scale=None,
+             pos=None, neg=None, ex=None, mono=None):
+        return F.struct(
+            F.lit(typ).alias("typ"),
+            F.coalesce(dp["attributes"],
+                       F.expr(f"cast(array() as {_KVS})")).alias("attrs"),
+            dp["timeUnixNano"].alias("t"),
+            (null_of("double") if num is None else num).alias("num"),
+            (null_of("double") if summ is None else summ).alias("sum"),
+            (null_of("double") if smin is None else smin).alias("min"),
+            (null_of("double") if smax is None else smax).alias("max"),
+            (null_of("string") if cnt is None else cnt).alias("cnt"),
+            (null_of("array<string>") if bcounts is None else bcounts).alias(
+                "bcounts"),
+            (null_of("array<double>") if bounds is None else bounds).alias(
+                "bounds"),
+            (null_of("array<struct<quantile:double,value:double>>")
+             if quants is None else quants).alias("quants"),
+            (null_of("string") if zero is None else zero).alias("zero"),
+            (null_of("int") if scale is None else scale).alias("scale"),
+            (null_of(_BUCKETS) if pos is None else pos).alias("pos"),
+            (null_of(_BUCKETS) if neg is None else neg).alias("neg"),
+            (F.expr(f"cast(array() as array<{_EXEMPLAR}>)")
+             if ex is None else F.coalesce(ex, F.expr(
+                 f"cast(array() as array<{_EXEMPLAR}>)"))).alias("ex"),
+            (null_of("boolean") if mono is None else mono).alias("mono"),
+        )
+
+    num_val = lambda dp: F.coalesce(  # noqa: E731  value2Float
+        dp["asDouble"], dp["asInt"].try_cast("double"), F.lit(0.0)
+    )
+    dps_norm = (
+        F.when(m["gauge"].isNotNull(), F.transform(
+            m["gauge"]["dataPoints"],
+            lambda dp: _ndp("g", dp, num=num_val(dp), ex=dp["exemplars"]),
         ))
-
-    no_extra = F.expr("cast(array() as array<struct<k:string,v:string>>)")
-    mono_lbl = F.array(F.struct(
-        F.lit("otlp.metric.ismonotonic").alias("k"),
-        F.when(F.coalesce(m["sum"]["isMonotonic"], F.lit(False)), "true")
-        .otherwise("false").alias("v"),
+        .when(m["sum"].isNotNull(), F.transform(
+            m["sum"]["dataPoints"],
+            lambda dp: _ndp("s", dp, num=num_val(dp), ex=dp["exemplars"],
+                            mono=F.coalesce(m["sum"]["isMonotonic"],
+                                            F.lit(False))),
+        ))
+        .when(m["histogram"].isNotNull(), F.transform(
+            m["histogram"]["dataPoints"],
+            lambda dp: _ndp("h", dp, summ=dp["sum"], smin=dp["min"],
+                            smax=dp["max"], cnt=dp["count"],
+                            bcounts=dp["bucketCounts"],
+                            bounds=dp["explicitBounds"],
+                            ex=dp["exemplars"]),
+        ))
+        .when(m["summary"].isNotNull(), F.transform(
+            m["summary"]["dataPoints"],
+            lambda dp: _ndp("y", dp, summ=dp["sum"], cnt=dp["count"],
+                            quants=dp["quantileValues"]),
+        ))
+        .when(m["exponentialHistogram"].isNotNull(), F.transform(
+            m["exponentialHistogram"]["dataPoints"],
+            lambda dp: _ndp("e", dp, summ=dp["sum"], smin=dp["min"],
+                            smax=dp["max"], cnt=dp["count"],
+                            zero=dp["zeroCount"], scale=dp["scale"],
+                            pos=dp["positive"], neg=dp["negative"],
+                            ex=dp["exemplars"]),
+        ))
+    )
+    out = (
+        out.withColumn("_name", name)
+        .withColumn("_dps", dps_norm)
+        .select(*keep, "_rlbl", "_name", F.explode(F.col("_dps")).alias("_dp"))
+    )
+    dp = F.col("_dp")
+    name = F.col("_name")
+    # base label set for every row of this datapoint: resource attrs +
+    # dp attrs (+ otlp.metric.ismonotonic for sums, which the
+    # reference appends before exemplars too — sum2Logs:167-174);
+    # materialized once, generator-free
+    mono_part = F.when(
+        dp["typ"] == "s",
+        F.array(F.struct(
+            F.lit("otlp.metric.ismonotonic").alias("k"),
+            F.when(dp["mono"], "true").otherwise("false").alias("v"),
+        )),
+    ).otherwise(no_lbl)
+    out = out.withColumn(
+        "_lbl", F.concat(F.col("_rlbl"), _kv_strs(dp["attrs"]), mono_part)
+    )
+    lbl = F.col("_lbl")
+    t = dp["t"]
+    quantile_rows = F.transform(
+        F.coalesce(dp["quants"], F.expr(
+            "cast(array() as array<struct<quantile:double,value:double>>)")),
+        lambda qv: _row(
+            name,
+            F.concat(lbl, F.array(F.struct(
+                F.lit("quantile").alias("k"),
+                F.coalesce(_fmt_num(qv["quantile"]), F.lit("0")).alias("v"),
+            ))),
+            t, qv["value"],
+        ),
+    )
+    zero_row = F.array(_row(  # zero.count row (otlp_metric_parser.go:111-112)
+        F.concat(name, F.lit("_bucket")),
+        F.concat(lbl, F.array(F.struct(F.lit("le").alias("k"),
+                                       F.lit("zero.count").alias("v")))),
+        t, F.coalesce(dp["zero"].try_cast("double"), F.lit(0.0)),
     ))
-
-    def hist_rows(dps: Column) -> Column:
-        return F.flatten(F.transform(
-            dps,
-            lambda dp: F.concat(
-                F.filter(
-                    F.array(
-                        _nonzero_row(name, "_sum",
-                                     F.concat(rlbl, _kv_strs(dp["attributes"])),
-                                     dp["timeUnixNano"], dp["sum"]),
-                        _nonzero_row(name, "_min",
-                                     F.concat(rlbl, _kv_strs(dp["attributes"])),
-                                     dp["timeUnixNano"], dp["min"]),
-                        _nonzero_row(name, "_max",
-                                     F.concat(rlbl, _kv_strs(dp["attributes"])),
-                                     dp["timeUnixNano"], dp["max"]),
-                    ),
-                    lambda r: r.isNotNull(),
-                ),
-                F.array(_row(
-                    F.concat(name, F.lit("_count")),
-                    F.concat(rlbl, _kv_strs(dp["attributes"])),
-                    dp["timeUnixNano"],
-                    dp["count"].try_cast("double"),
-                )),
-                _exemplar_rows(name, F.concat(rlbl, _kv_strs(dp["attributes"])),
-                               dp["exemplars"]),
-                _cum_buckets(name, F.concat(rlbl, _kv_strs(dp["attributes"])),
-                             dp["timeUnixNano"],
-                             F.coalesce(dp["explicitBounds"],
-                                        F.expr("cast(array() as array<double>)")),
-                             F.coalesce(dp["bucketCounts"],
-                                        F.expr("cast(array() as array<string>)"))),
-            ),
-        ))
-
-    def summary_rows(dps: Column) -> Column:
-        return F.flatten(F.transform(
-            dps,
-            lambda dp: F.concat(
+    rows = F.concat(
+        # gauge / sum value row
+        F.when(dp["typ"].isin("g", "s"),
+               F.array(_row(name, lbl, t, dp["num"]))).otherwise(empty_rows),
+        # histogram / exp-histogram != 0 guards (parser:85-93,189-197)
+        F.when(
+            dp["typ"].isin("h", "e"),
+            F.filter(
                 F.array(
-                    _row(F.concat(name, F.lit("_sum")),
-                         F.concat(rlbl, _kv_strs(dp["attributes"])),
-                         dp["timeUnixNano"], dp["sum"]),
-                    _row(F.concat(name, F.lit("_count")),
-                         F.concat(rlbl, _kv_strs(dp["attributes"])),
-                         dp["timeUnixNano"], dp["count"].try_cast("double")),
+                    _nonzero_row(name, "_sum", lbl, t, dp["sum"]),
+                    _nonzero_row(name, "_min", lbl, t, dp["min"]),
+                    _nonzero_row(name, "_max", lbl, t, dp["max"]),
                 ),
-                F.transform(
-                    F.coalesce(dp["quantileValues"], F.expr(
-                        "cast(array() as "
-                        "array<struct<quantile:double,value:double>>)")),
-                    lambda qv: _row(
-                        name,
-                        F.concat(
-                            rlbl, _kv_strs(dp["attributes"]),
-                            F.array(F.struct(
-                                F.lit("quantile").alias("k"),
-                                F.coalesce(_fmt_num(qv["quantile"]),
-                                           F.lit("0")).alias("v"),
-                            )),
-                        ),
-                        dp["timeUnixNano"], qv["value"],
-                    ),
-                ),
+                lambda r: r.isNotNull(),
             ),
-        ))
-
-    def exp_rows(dps: Column) -> Column:
-        return F.flatten(F.transform(
-            dps,
-            lambda dp: F.concat(
-                F.filter(
-                    F.array(
-                        _nonzero_row(name, "_sum",
-                                     F.concat(rlbl, _kv_strs(dp["attributes"])),
-                                     dp["timeUnixNano"], dp["sum"]),
-                        _nonzero_row(name, "_min",
-                                     F.concat(rlbl, _kv_strs(dp["attributes"])),
-                                     dp["timeUnixNano"], dp["min"]),
-                        _nonzero_row(name, "_max",
-                                     F.concat(rlbl, _kv_strs(dp["attributes"])),
-                                     dp["timeUnixNano"], dp["max"]),
-                    ),
-                    lambda r: r.isNotNull(),
-                ),
-                F.array(_row(
-                    F.concat(name, F.lit("_count")),
-                    F.concat(rlbl, _kv_strs(dp["attributes"])),
-                    dp["timeUnixNano"], dp["count"].try_cast("double"),
-                )),
-                _exemplar_rows(name, F.concat(rlbl, _kv_strs(dp["attributes"])),
-                               dp["exemplars"]),
-                _exp_buckets(name, F.concat(rlbl, _kv_strs(dp["attributes"])),
-                             dp["timeUnixNano"], F.coalesce(dp["scale"], F.lit(0)),
-                             dp["positive"], True),
-                _exp_buckets(name, F.concat(rlbl, _kv_strs(dp["attributes"])),
-                             dp["timeUnixNano"], F.coalesce(dp["scale"], F.lit(0)),
-                             dp["negative"], False),
-                F.array(_row(  # zero.count row (otlp_metric_parser.go:111-112)
-                    F.concat(name, F.lit("_bucket")),
-                    F.concat(
-                        rlbl, _kv_strs(dp["attributes"]),
-                        F.array(F.struct(F.lit("le").alias("k"),
-                                         F.lit("zero.count").alias("v"))),
-                    ),
-                    dp["timeUnixNano"],
-                    F.coalesce(dp["zeroCount"].try_cast("double"), F.lit(0.0)),
-                )),
+        ).otherwise(empty_rows),
+        # summary emits _sum unconditionally (parser:147)
+        F.when(dp["typ"] == "y",
+               F.array(_row(F.concat(name, F.lit("_sum")), lbl, t,
+                            dp["sum"]))).otherwise(empty_rows),
+        # _count for histogram / summary / exp-histogram
+        F.when(
+            dp["typ"].isin("h", "y", "e"),
+            F.array(_row(F.concat(name, F.lit("_count")), lbl, t,
+                         dp["cnt"].try_cast("double"))),
+        ).otherwise(empty_rows),
+        F.when(
+            dp["typ"] == "h",
+            _cum_buckets(name, lbl, t,
+                         F.coalesce(dp["bounds"],
+                                    F.expr("cast(array() as array<double>)")),
+                         F.coalesce(dp["bcounts"],
+                                    F.expr("cast(array() as array<string>)"))),
+        ).otherwise(empty_rows),
+        F.when(dp["typ"] == "y", quantile_rows).otherwise(empty_rows),
+        F.when(
+            dp["typ"] == "e",
+            F.concat(
+                _exp_buckets(name, lbl, t, F.coalesce(dp["scale"], F.lit(0)),
+                             dp["pos"], True),
+                _exp_buckets(name, lbl, t, F.coalesce(dp["scale"], F.lit(0)),
+                             dp["neg"], False),
+                zero_row,
             ),
-        ))
-
-    rows = (
-        F.when(m["gauge"].isNotNull(),
-               number_rows(m["gauge"]["dataPoints"], no_extra))
-        .when(m["sum"].isNotNull(),
-              number_rows(m["sum"]["dataPoints"], mono_lbl))
-        .when(m["histogram"].isNotNull(), hist_rows(m["histogram"]["dataPoints"]))
-        .when(m["summary"].isNotNull(), summary_rows(m["summary"]["dataPoints"]))
-        .when(m["exponentialHistogram"].isNotNull(),
-              exp_rows(m["exponentialHistogram"]["dataPoints"]))
-        .otherwise(empty_rows)
+        ).otherwise(empty_rows),
+        _exemplar_rows(name, lbl, dp["ex"]),
     )
     # materialize the row array generator-free (see NOTE above), then explode
     out = out.withColumn("_rows", rows).select(

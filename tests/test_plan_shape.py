@@ -139,3 +139,18 @@ def test_ivf_assign_is_narrow(spark, sf_dir):
     assert len(re.findall(r"\bWindow \[", plan)) <= 1, plan
     # the corpus must never shuffle on its own id for assignment
     assert "hashpartitioning(neighbor_id" not in plan, plan
+
+
+def test_otel_decode_is_narrow(spark):
+    """Both OTLP decoders must be pure narrow plans — from_json +
+    generator chains, no Exchange of any kind: decode parallelism is
+    exactly the scan's."""
+    from ilogtail_spark.operators.otel import otel_metric_parse, otel_trace_parse
+
+    df = spark.range(4).select(
+        F.col("id"), F.lit('{"resourceSpans":[]}').alias("otel")
+    )
+    for op in (otel_trace_parse, otel_metric_parse):
+        plan = _plan(op(df, "otel", keep=["id"]))
+        assert "Exchange" not in plan, plan
+        assert "Generate" in plan
