@@ -1444,6 +1444,46 @@ def _q_otel_metric(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_serializers(spark: SparkSession, sf: str) -> DataFrame:
+    """Sink converter protocols (pkg/protocol/converter):
+    custom_single (contents/tags/time JSON envelope), jsonline/flatten
+    (merged sorted-key object), and influxdb line protocol over SLS
+    metric rows — one serialized string per row per protocol, newline
+    joining left to the writer like the reference's flusher split."""
+    from ilogtail_spark.sinks.serialize import (
+        serialize_influx,
+        serialize_jsonline,
+        serialize_single,
+    )
+
+    df = parse_stage(derive_transcripts(spark, sf)).filter(F.col(PARSE_OK_KEY))
+    base = df.withColumn(
+        "__path__", F.concat(F.lit("/var/log/conv/"), F.col("conv_id"))
+    )
+    cols = ["role", "tool", "text", "__path__"]
+    out = serialize_single(
+        base, cols, time_col="ts", tags={"env": "prod"},
+        source="10.0.0.1", topic="transcripts", dest="line_single",
+    )
+    out = serialize_jsonline(
+        out, cols, time_col="ts", tags={"env": "prod"},
+        source="10.0.0.1", topic="transcripts", dest="line_flatten",
+    )
+    out = out.withColumn("__name__", F.lit("latency_ms")).withColumn(
+        "__labels__",
+        F.concat(F.lit("conv#$#"), F.col("conv_id"),
+                 F.lit("|tool#$#"), F.col("tool_call")),
+    ).withColumn(
+        "__value__", F.col("latency_ms").cast("double")
+    ).withColumn(
+        "__time_nano__", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+    )
+    out = serialize_influx(out, dest="line_influx")
+    return out.select(
+        "conv_id", "turn_idx", "line_single", "line_flatten", "line_influx"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1512,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_filter_key_regex": _q_filter_key_regex,
         "q65_otel_trace": _q_otel_trace,
         "q66_otel_metric": _q_otel_metric,
+        "q67_serializers": _q_serializers,
     }
 
 
@@ -1906,6 +1947,25 @@ def oracle_sql() -> dict[str, str]:
              FROM transcripts""",
         "q64_filter_key_regex": """
             SELECT event_id, event_type FROM events WHERE event_id % 3 = 0""",
+        "q67_serializers": PARSED_CTE
+        + """SELECT conv_id, turn_idx,
+                  '{"contents":{"role":' || to_json(role) || ',"text":'
+                    || to_json(text) || ',"tool":' || to_json(tool)
+                    || '},"tags":{"env":"prod","host.ip":"10.0.0.1",'
+                    || '"log.file.path":'
+                    || to_json('/var/log/conv/' || conv_id)
+                    || ',"log.topic":"transcripts"},"time":'
+                    || (epoch_us(ts) // 1000000) || '}' AS line_single,
+                  '{"env":"prod","host.ip":"10.0.0.1","log.file.path":'
+                    || to_json('/var/log/conv/' || conv_id)
+                    || ',"log.topic":"transcripts","role":' || to_json(role)
+                    || ',"text":' || to_json(text)
+                    || ',"time":' || (epoch_us(ts) // 1000000)
+                    || ',"tool":' || to_json(tool) || '}' AS line_flatten,
+                  'latency_ms,conv=' || conv_id || ',tool=' || tool_call
+                    || ' value=' || latency_ms || ' '
+                    || (epoch_us(ts) * 1000) AS line_influx
+             FROM parsed WHERE parse_ok""",
         # expected span rows computed directly from the fixture's closed
         # form — the Spark side builds the OTLP/JSON doc and round-trips
         # it through from_json + the otlp_trace_parser.go field layout
