@@ -1479,8 +1479,19 @@ def _q_serializers(spark: SparkSession, sf: str) -> DataFrame:
         "__time_nano__", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
     )
     out = serialize_influx(out, dest="line_influx")
+    from ilogtail_spark.sinks.serialize import serialize_otlp_logs
+
+    out = out.withColumn("content", F.col("text")).withColumn(
+        "level", F.when(F.col("role") == "assistant", "INFO").otherwise("DEBUG")
+    )
+    out = serialize_otlp_logs(
+        out, ["content", "level", "tool", "__path__"], time_col="ts",
+        tags={"env": "prod"}, source="10.0.0.1", topic="transcripts",
+        dest="line_otlp",
+    )
     return out.select(
-        "conv_id", "turn_idx", "line_single", "line_flatten", "line_influx"
+        "conv_id", "turn_idx", "line_single", "line_flatten", "line_influx",
+        "line_otlp",
     )
 
 
@@ -1964,7 +1975,24 @@ def oracle_sql() -> dict[str, str]:
                     || ',"tool":' || to_json(tool) || '}' AS line_flatten,
                   'latency_ms,conv=' || conv_id || ',tool=' || tool_call
                     || ' value=' || latency_ms || ' '
-                    || (epoch_us(ts) * 1000) AS line_influx
+                    || (epoch_us(ts) * 1000) AS line_influx,
+                  '{"resource":{"attributes":[{"key":"source","value":'
+                    || '{"stringValue":"10.0.0.1"}},{"key":"topic","value":'
+                    || '{"stringValue":"transcripts"}}]},"scopeLogs":'
+                    || '[{"logRecords":[{"timeUnixNano":"'
+                    || ((epoch_us(ts) // 1000000) * 1000000000)
+                    || '","severityText":"'
+                    || CASE WHEN role = 'assistant' THEN 'INFO'
+                            ELSE 'DEBUG' END
+                    || '","body":{"stringValue":' || to_json(text)
+                    || '},"attributes":[{"key":"env","value":'
+                    || '{"stringValue":"prod"}},{"key":"host.ip","value":'
+                    || '{"stringValue":"10.0.0.1"}},{"key":"log.file.path",'
+                    || '"value":{"stringValue":'
+                    || to_json('/var/log/conv/' || conv_id)
+                    || '}},{"key":"log.topic","value":{"stringValue":'
+                    || '"transcripts"}},{"key":"tool","value":{"stringValue":'
+                    || to_json(tool) || '}}]}]}]}' AS line_otlp
              FROM parsed WHERE parse_ok""",
         # expected span rows computed directly from the fixture's closed
         # form — the Spark side builds the OTLP/JSON doc and round-trips

@@ -217,6 +217,72 @@ def serialize_influx(
     return df.withColumn(dest, line)
 
 
+def serialize_otlp_logs(
+    df: DataFrame,
+    content_cols: list[str],
+    body_col: str = "content",
+    level_col: str = "level",
+    time_col: str = "ts",
+    tags: dict[str, str] | None = None,
+    source: str | None = "",
+    topic: str | None = None,
+    dest: str = "__line__",
+) -> DataFrame:
+    """``otlp_v1`` log encoding (otlp.go:43-103 →
+    ConvertToOtlpResourseLogs): one OTLP/JSON ResourceLogs document per
+    row with a single LogRecord — contents minus body/level become
+    record attributes alongside the tags, ``content`` → body string,
+    ``level`` → severityText, time → nanoseconds.  Deviations, both
+    documented: attributes are key-sorted (the reference iterates Go
+    maps — nondeterministic order with the same attribute SET) and
+    observedTimeUnixNano is omitted (the reference stamps wall-clock
+    now).  Group batching — many records per resourceLogs — is the
+    writer's concern, like the newline join for jsonline."""
+    contents, tag_pairs = _split_contents_tags(df, content_cols, tags, source, topic)
+    res_attrs: list[tuple[str, Column]] = []
+    if source:
+        res_attrs.append(("source", F.lit(source)))
+    if topic:
+        res_attrs.append(("topic", F.lit(topic)))
+    attr_pairs = [
+        (k, c) for k, c in contents if k not in (body_col, level_col)
+    ] + tag_pairs
+    body = dict(contents).get(body_col)
+    level = dict(contents).get(level_col)
+
+    def attrs_arr(pairs):
+        return F.array(*[
+            F.struct(
+                F.lit(k).alias("key"),
+                F.struct(
+                    F.coalesce(c.cast("string"), F.lit("")).alias("stringValue")
+                ).alias("value"),
+            )
+            for k, c in sorted(pairs, key=lambda p: p[0])
+        ])
+
+    t_ns = F.unix_seconds(F.col(time_col).cast("timestamp")) * F.lit(1000000000)
+    record_fields = [t_ns.cast("string").alias("timeUnixNano")]
+    if level is not None:
+        record_fields.append(
+            F.coalesce(level.cast("string"), F.lit("")).alias("severityText")
+        )
+    if body is not None:
+        record_fields.append(
+            F.struct(
+                F.coalesce(body.cast("string"), F.lit("")).alias("stringValue")
+            ).alias("body")
+        )
+    record_fields.append(attrs_arr(attr_pairs).alias("attributes"))
+    doc = F.struct(
+        F.struct(attrs_arr(res_attrs).alias("attributes")).alias("resource"),
+        F.array(
+            F.struct(F.array(F.struct(*record_fields)).alias("logRecords"))
+        ).alias("scopeLogs"),
+    )
+    return df.withColumn(dest, F.to_json(doc))
+
+
 @register("flusher_stdout_serializer")
 def _single_factory(**cfg):
     protocol = cfg_pop(cfg, "Protocol", "protocol", default="custom_single")
@@ -226,6 +292,10 @@ def _single_factory(**cfg):
     only = cfg_pop(cfg, "OnlyContents", "only_contents", default=False)
     if protocol == "influxdb":
         return lambda df: serialize_influx(df)
+    if protocol == "otlp_v1":
+        return lambda df: serialize_otlp_logs(
+            df, content_cols, time_col=time_col, tags=tags
+        )
     flatten = protocol in ("custom_single_flatten", "jsonline")
     return lambda df: serialize_single(
         df, content_cols, time_col=time_col, tags=tags,

@@ -85,3 +85,27 @@ def test_registry_protocols(spark):
     assert fac(Protocol="custom_single", ContentCols=["k"])(df).collect()[0][
         "__line__"
     ].startswith('{"contents":{"k":"a"}')
+
+
+def test_otlp_logs_encoding(spark):
+    from ilogtail_spark.sinks.serialize import serialize_otlp_logs
+
+    df = spark.createDataFrame(
+        [("hello", "WARN", "bash", "2024-01-01 00:00:01")],
+        "content string, level string, tool string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    line = serialize_otlp_logs(
+        df, ["content", "level", "tool"], source="1.2.3.4", topic="t",
+    ).collect()[0]["__line__"]
+    # otlp.go:43-103 layout: resource attrs source/topic; contents
+    # minus content/level + tags as record attrs; body/severity pulled
+    assert line == (
+        '{"resource":{"attributes":['
+        '{"key":"source","value":{"stringValue":"1.2.3.4"}},'
+        '{"key":"topic","value":{"stringValue":"t"}}]},'
+        '"scopeLogs":[{"logRecords":[{"timeUnixNano":"1704067201000000000",'
+        '"severityText":"WARN","body":{"stringValue":"hello"},'
+        '"attributes":[{"key":"host.ip","value":{"stringValue":"1.2.3.4"}},'
+        '{"key":"log.topic","value":{"stringValue":"t"}},'
+        '{"key":"tool","value":{"stringValue":"bash"}}]}]}]}'
+    )
