@@ -189,11 +189,29 @@ def _translate_expr(expr: str) -> str:
     return expr
 
 
+# Dynamic-key inference scan cap. None = exact (scan the full input);
+# an int caps the inference scan to that many rows — at 100 TB set a
+# cap (the key SET is schema-like and stabilizes within a sample) or
+# avoid inference entirely with explicit keys / parse-csv.
+KEY_INFER_SAMPLE_ROWS: int | None = None
+
+
 def _infer_map_keys(df: DataFrame, mapcol) -> list[str]:
-    rows = (
-        df.select(F.explode(F.map_keys(mapcol)).alias("k")).distinct().collect()
-    )
-    return sorted(r["k"] for r in rows)
+    """Distinct key set of a map column, as one aggregate job.
+
+    ``collect_set`` over the per-row key ARRAYS (not exploded keys)
+    partial-aggregates map-side — each task ships only its distinct
+    key-array shapes, a schema-sized set, so the shuffle is bytes even
+    when the input is rows×keys huge. The old explode→distinct form
+    multiplied rows before the partial aggregate.
+    """
+    src = df
+    if KEY_INFER_SAMPLE_ROWS is not None:
+        src = src.limit(KEY_INFER_SAMPLE_ROWS)
+    row = src.agg(
+        F.array_distinct(F.flatten(F.collect_set(F.map_keys(mapcol)))).alias("ks")
+    ).first()
+    return sorted(row["ks"] or [])
 
 
 def _expand_map(df: DataFrame, mapcol_name: str) -> DataFrame:
