@@ -1015,15 +1015,33 @@ def parse_prom_exposition(
     if attach_metadata:
         # TYPE declares the FAMILY name verbatim — join on the declared
         # name, not the suffix-stripped family (a counter legitimately
-        # named *_count must not lose its declaration)
+        # named *_count must not lose its declaration).
+        # Build the name→type dictionary from the RAW source lines, not
+        # from `out`: `out`'s plan embeds the whole sample parse, so
+        # deriving the dictionary from it re-runs every regex over the
+        # full input a second time. Meta lines are exactly the raw
+        # `#`-prefixed lines matching PROM_META_PATTERN (the sample
+        # parse fails every `#` line), so the raw-side filter is
+        # equivalent — and `startswith('#')` is a pushable predicate,
+        # keeping the dictionary scan cheap at 100 TB.
         types = (
-            out.filter(F.col("__line_kind__") == "type")
-            .groupBy(F.col("__name__").alias("_mt_family"))
-            .agg(F.min("__meta_text__").alias("__type__"))
+            df.select(F.col(source).alias("_mt_line"))
+            .filter(
+                F.col("_mt_line").startswith("#")
+                & (F.lower(F.regexp_extract("_mt_line", PROM_META_PATTERN, 1)) == "type")
+            )
+            .groupBy(
+                F.regexp_extract("_mt_line", PROM_META_PATTERN, 2).alias("_mt_family")
+            )
+            .agg(
+                F.min(
+                    F.regexp_extract("_mt_line", PROM_META_PATTERN, 3)
+                ).alias("__type__")
+            )
         )
         out = out.join(
             F.broadcast(types), out["__family__"] == types["_mt_family"], "left"
-        ).drop("_mt_family")
+        ).drop("_mt_family", "_mt_line")
     return out
 
 
