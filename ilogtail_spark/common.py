@@ -16,6 +16,19 @@ def md5_hash64(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def go_num(c: Column) -> Column:
+    """THE shared Go shortest-number formatter for the no-exponent
+    domain (strconv.FormatFloat 'g' on values Go prints without an
+    exponent): integral doubles print without a fraction (``1`` not
+    ``1.0``), everything else as the plain decimal cast. Used by both
+    the OTLP decoders and the sink serializers — single definition so
+    the two paths can never drift (same rule as md5_hash64)."""
+    i = c.try_cast("bigint")
+    return F.when(
+        i.isNotNull() & (i.cast("double") == c), i.cast("string")
+    ).otherwise(c.cast("string"))
+
+
 def map_last_wins(entries: Column) -> Column:
     """Fold an ``array<struct<key:string,value:string>>`` into a map
     with OVERWRITE (last-wins) duplicate-key semantics.

@@ -323,7 +323,12 @@ def _mdg_factory(**cfg):
             cfg.get("GroupMaxByteLength", cfg.get("max_bytes", 3 * 1024 * 1024))
         ),
         size_col=cfg.get("size_col"),
-        order_col=cfg.get("order_col"),
+        # the Go plugin has no order concept (packs form in arrival
+        # order); deterministic chunking needs SOME total order, so
+        # default to turn_idx like aggregator_context — a frame without
+        # it fails analysis with the column named, and a config can
+        # always override with order_col
+        order_col=cfg.get("order_col", "turn_idx"),
     )
 
 

@@ -47,6 +47,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ilogtail_spark.common import go_num
 from ilogtail_spark.operators.registry import cfg_pop, register
 
 # --------------------------------------------------------------------------
@@ -135,14 +136,7 @@ def _json_quote(c: Column) -> Column:
     return arr.substr(F.lit(2), F.length(arr) - F.lit(2))
 
 
-def _fmt_num(c: Column) -> Column:
-    """Go shortest number form for the no-exponent domain: integral
-    doubles print without a fraction (``1`` not ``1.0``), everything
-    else as the plain decimal cast."""
-    i = c.try_cast("bigint")
-    return F.when(
-        i.isNotNull() & (i.cast("double") == c), i.cast("string")
-    ).otherwise(c.cast("string"))
+_fmt_num = go_num  # shared Go shortest-number form (common.go_num)
 
 
 def _any_json(v: Column) -> Column:

@@ -447,7 +447,13 @@ def expand_json(
 # CSV / delimiter
 # ---------------------------------------------------------------------------
 
-_QS_SENTINEL = "\x00"  # NUL never appears in log-line text
+# Sentinel scheme: pre-existing NUL bytes in the input (binary garbage
+# in a log line — the data is data-controlled, so "NUL never appears"
+# is not an invariant we can assume) are ESCAPED to NUL+SOH before
+# masking, and the separator mask uses NUL+STX, so unmasking can never
+# rewrite payload bytes. All plain structural replaces, still linear.
+_QS_ESC = "\x00\x01"  # escaped form of a literal input NUL
+_QS_SENTINEL = "\x00\x02"  # masked separator
 
 
 def quote_split(src: Column, sep: str, quote: str, limit: int = -1) -> Column:
@@ -472,7 +478,8 @@ def quote_split(src: Column, sep: str, quote: str, limit: int = -1) -> Column:
     """
     import re as _re
 
-    segs = F.split(src, _re.escape(quote), -1)
+    protected = F.replace(src, F.lit("\x00"), F.lit(_QS_ESC))
+    segs = F.split(protected, _re.escape(quote), -1)
     masked = F.array_join(
         F.transform(
             segs,
@@ -484,7 +491,12 @@ def quote_split(src: Column, sep: str, quote: str, limit: int = -1) -> Column:
     )
     parts = F.split(masked, _re.escape(sep), limit)
     return F.transform(
-        parts, lambda p: F.replace(p, F.lit(_QS_SENTINEL), F.lit(sep))
+        parts,
+        lambda p: F.replace(
+            F.replace(p, F.lit(_QS_SENTINEL), F.lit(sep)),
+            F.lit(_QS_ESC),
+            F.lit("\x00"),
+        ),
     )
 
 
@@ -585,11 +597,16 @@ def parse_kv(
     # NOT str_to_map: that throws on duplicate keys ('a=1&a=2') under
     # the default EXCEPTION dedup policy — fold last-wins instead
     # (key_value_splitter.go appends duplicates without error)
+    # split each pair ONCE (codegen does not CSE across struct fields —
+    # naming both fields off F.split(p, ...) directly would run the
+    # regex split twice per pair on this hot path)
     entries = F.transform(
-        F.split(F.col(source), pair_sep, -1),
-        lambda p: F.struct(
-            F.get(F.split(p, kv_sep, 2), 0).alias("key"),
-            F.get(F.split(p, kv_sep, 2), 1).alias("value"),
+        F.transform(
+            F.split(F.col(source), pair_sep, -1),
+            lambda p: F.split(p, kv_sep, 2),
+        ),
+        lambda a: F.struct(
+            F.get(a, 0).alias("key"), F.get(a, 1).alias("value")
         ),
     )
     parsed = map_last_wins(entries)
@@ -975,6 +992,13 @@ def parse_prom_exposition(
             "parse_prom_exposition: discard_unmatch would drop TYPE/HELP "
             "lines before they can be classified"
         )
+    if not opts.keep_source_if_fail:
+        raise ValueError(
+            "parse_prom_exposition: keep_source_if_fail=False nulls the "
+            "text of every failed row, so TYPE/HELP lines could not be "
+            "classified afterwards — keep the source (default) when "
+            "FullGrammar is on"
+        )
     out = parse_prom_metric(df, source=source, options=opts)
     # failed sample rows keep their text in source and/or raw_log_key
     # (failure contract above); meta lines are always sample-failures
@@ -1039,9 +1063,27 @@ def parse_prom_exposition(
                 ).alias("__type__")
             )
         )
-        out = out.join(
-            F.broadcast(types), out["__family__"] == types["_mt_family"], "left"
-        ).drop("_mt_family", "_mt_line")
+        # lookup precedence: a TYPE line declaring the sample's VERBATIM
+        # name wins (a counter legitimately named *_count keeps its own
+        # declaration); only otherwise fall back to the suffix-stripped
+        # family (histogram/summary series pick up their family's TYPE).
+        # Both joins ride the same tiny broadcast dictionary.
+        exact = types.select(
+            F.col("_mt_family").alias("_mt_exact"),
+            F.col("__type__").alias("_mt_exact_type"),
+        )
+        out = (
+            out.join(
+                F.broadcast(exact), out["__name__"] == exact["_mt_exact"], "left"
+            )
+            .join(
+                F.broadcast(types), out["__family__"] == types["_mt_family"], "left"
+            )
+            .withColumn(
+                "__type__", F.coalesce(F.col("_mt_exact_type"), F.col("__type__"))
+            )
+            .drop("_mt_exact", "_mt_exact_type", "_mt_family", "_mt_line")
+        )
     return out
 
 

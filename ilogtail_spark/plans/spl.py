@@ -91,6 +91,16 @@ _MYSQL_FMT = {
 
 def _mysql_fmt_to_jdk(fmt: str) -> str:
     out: list[str] = []
+    lit: list[str] = []  # pending run of literal letters
+
+    def _flush() -> None:
+        # quote a literal-letter run as ONE 'run': per-letter quoting
+        # would emit 'a''b' and JDK parses '' inside adjacent quoted
+        # sections as an escaped quote (literal a'b)
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
     i = 0
     while i < len(fmt):
         ch = fmt[i]
@@ -98,15 +108,18 @@ def _mysql_fmt_to_jdk(fmt: str) -> str:
             tok = fmt[i + 1]
             if tok not in _MYSQL_FMT:
                 raise ValueError(f"SPL date_parse: unsupported format token %{tok}")
+            _flush()
             out.append(_MYSQL_FMT[tok])
             i += 2
         elif ch.isalpha():
-            # literal letters must be quoted in JDK patterns
-            out.append(f"'{ch}'")
+            lit.append(ch)
             i += 1
         else:
-            out.append(ch)
+            _flush()
+            # a bare quote outside a quoted section must itself escape
+            out.append("''" if ch == "'" else ch)
             i += 1
+    _flush()
     return "".join(out)
 
 
@@ -166,11 +179,13 @@ def _translate_expr(expr: str) -> str:
     functions pass through (Spark shares most of the ANSI surface)."""
     for spl, spark in _FN_MAP.items():
         expr = re.sub(rf"(?<![\w.]){spl}\s*\(", f"{spark}(", expr)
-    expr = _rewrite_call(
-        expr,
-        "date_parse",
-        lambda a: f"to_timestamp({a[0]}, '{_mysql_fmt_to_jdk(_unquote(a[1]))}')",
-    )
+    def _date_parse(a):
+        # the JDK pattern may itself contain single quotes (literal-run
+        # quoting) — double them for the SQL string literal they ride in
+        jdk = _mysql_fmt_to_jdk(_unquote(a[1])).replace("'", "''")
+        return f"to_timestamp({a[0]}, '{jdk}')"
+
+    expr = _rewrite_call(expr, "date_parse", _date_parse)
     # Presto to_unixtime returns DOUBLE epoch seconds; Spark's
     # cast(timestamp as double) is the exact equivalent
     expr = _rewrite_call(expr, "to_unixtime", lambda a: f"cast(({a[0]}) as double)")

@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ilogtail_spark.common import go_num
 from ilogtail_spark.operators.registry import cfg_pop, register
 
 # converter.go:81-95 tagConversionMap (K8sFlag=false branch)
@@ -153,13 +154,7 @@ def _esc(c: Column, chars: str) -> Column:
     return F.regexp_replace(c, rx, r"\\$1")
 
 
-def _fmt_float(c: Column) -> Column:
-    """Go shortest float form for the no-exponent domain (shared
-    convention with operators/otel.py::_fmt_num)."""
-    i = c.try_cast("bigint")
-    return F.when(
-        i.isNotNull() & (i.cast("double") == c), i.cast("string")
-    ).otherwise(c.cast("string"))
+_fmt_float = go_num  # shared Go shortest-number form (common.go_num)
 
 
 def serialize_influx(
@@ -185,7 +180,11 @@ def serialize_influx(
         if field_col
         else F.lit("value")
     )
-    name = F.col(name_col)
+    # NULL-tolerant per the Go converter: value2Float returns 0 on an
+    # unparseable/absent value (influxdb_metric.go:60-66) and an absent
+    # name serializes as the empty measurement — F.concat would
+    # otherwise propagate a single NULL into dropping the whole line.
+    name = F.coalesce(F.col(name_col), F.lit(""))
     measurement = F.when(
         (field != "value") & name.endswith(F.concat(F.lit(":"), field)),
         name.substr(F.lit(1), F.length(name) - F.length(field) - 1),
@@ -209,7 +208,7 @@ def serialize_influx(
         F.lit(" "),
         _esc(field, ",= "),
         F.lit("="),
-        _fmt_float(F.col(value_col)),
+        _fmt_float(F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))),
         F.when(F.coalesce(ts, F.lit("")) == "", F.lit("")).otherwise(
             F.concat(F.lit(" "), ts)
         ),

@@ -390,3 +390,48 @@ def test_parse_prom_exposition_full_grammar(spark):
     assert out[4]["__series__"] == "sum" and out[4]["__type__"] == "histogram"
     assert out[7]["__series__"] == "sample" and out[7]["__type__"] == "counter"
     assert out[8]["__type__"] is None
+
+
+def test_quote_split_preserves_embedded_nul_bytes(spark):
+    """Pre-existing NUL bytes in a field are payload, not sentinel —
+    the escape scheme must hand them back verbatim instead of
+    rewriting them into separators."""
+    from ilogtail_spark.operators.parse import quote_split
+
+    df = spark.createDataFrame([('a,"b\x00c",d\x00e',)], "t string")
+    out = df.select(quote_split(F.col("t"), ",", '"').alias("p")).collect()
+    assert out[0]["p"] == ["a", '"b\x00c"', "d\x00e"]
+
+
+def test_prom_exposition_verbatim_type_wins_over_family(spark):
+    """A TYPE line declaring a metric's VERBATIM name beats the
+    suffix-stripped family lookup: a counter legitimately named
+    *_count keeps its own declaration even when the family also has
+    one; plain family members still fall back to the family TYPE."""
+    from ilogtail_spark.operators.parse import parse_prom_exposition
+
+    lines = [
+        "# TYPE requests histogram",
+        "# TYPE requests_count counter",
+        "requests_count 5",
+        "requests_bucket{le=\"1\"} 2",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "text string")
+    rows = {
+        r["__name__"]: r
+        for r in parse_prom_exposition(df).collect()
+        if r["__line_kind__"] == "sample"
+    }
+    assert rows["requests_count"]["__type__"] == "counter"
+    assert rows["requests_bucket"]["__type__"] == "histogram"
+
+
+def test_prom_exposition_keep_source_if_fail_guard(spark):
+    from ilogtail_spark.operators.parse import ParserOptions, parse_prom_exposition
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("# TYPE a counter",)], "text string")
+    with _pytest.raises(ValueError, match="keep_source_if_fail"):
+        parse_prom_exposition(
+            df, options=ParserOptions(keep_source_if_fail=False)
+        )

@@ -109,3 +109,18 @@ def test_otlp_logs_encoding(spark):
         '{"key":"log.topic","value":{"stringValue":"t"}},'
         '{"key":"tool","value":{"stringValue":"bash"}}]}]}]}'
     )
+
+
+def test_influx_null_value_defaults_to_zero(spark):
+    """value2Float semantics (influxdb_metric.go:60-66): an absent /
+    unparseable value serializes as 0 — a NULL must not null-propagate
+    through concat and silently drop the whole line."""
+    from ilogtail_spark.sinks.serialize import serialize_influx
+
+    df = spark.createDataFrame(
+        [("m1", "", None, "123"), (None, "", 2.0, "")],
+        "__name__ string, __labels__ string, __value__ double, __time_nano__ string",
+    )
+    lines = [r["__line__"] for r in serialize_influx(df).collect()]
+    assert lines[0] == "m1 value=0 123"
+    assert lines[1] == " value=2"

@@ -127,3 +127,22 @@ def test_spl_multi_output_factory_unions_tagged_branches(spark):
     assert [(r["__sink__"], r["k"], r["v"], r["dbl"]) for r in out] == [
         ("A", "a", 1, 2), ("A", "a", 3, 6), ("B", "b", 2, None)
     ]
+
+
+def test_mysql_fmt_literal_runs_quote_once():
+    """Adjacent literal letters must form ONE quoted run — per-letter
+    quoting emits 'a''b', which the JDK formatter reads as an escaped
+    quote (literal a'b)."""
+    from ilogtail_spark.plans.spl import _mysql_fmt_to_jdk
+
+    assert _mysql_fmt_to_jdk("%d on %Y") == "dd 'on' yyyy"
+    assert _mysql_fmt_to_jdk("%H:%i") == "HH:mm"
+    assert _mysql_fmt_to_jdk("%Y'%m") == "yyyy''MM"
+
+
+def test_spl_date_parse_literal_words(spark):
+    """date_parse with a multi-letter literal in the format parses
+    end-to-end (the old per-letter quoting made every row NULL)."""
+    df = spark.createDataFrame([("05 on 2024",)], "t string")
+    out = spl_transform("* | extend d = date_parse(t, '%d on %Y')")(df).collect()
+    assert out[0]["d"] is not None and out[0]["d"].year == 2024
