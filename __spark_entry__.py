@@ -1495,6 +1495,73 @@ def _q_serializers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/test decontamination (the GPT-3/LLaMA n-gram-overlap
+    procedure): benchmark = every 101st doc, corpus = the rest; a
+    corpus doc is contaminated iff it shares any word 3-gram with a
+    benchmark doc. Benchmark gram hashes ride a broadcast join — the
+    corpus never shuffles by gram."""
+    from ilogtail_spark.functions.dedup import decontaminate
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    corpus = docs.filter(F.col("doc_id") % 101 != 0)
+    out = decontaminate(corpus, bench, k=3)
+    return out.orderBy("doc_id")
+
+
+def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling for corpus
+    curation: keep 50% of 'en' docs, 10% of everything else, purely as
+    a function of md5(doc_id) — reproducible across runs/engines/
+    cluster sizes, zero shuffle (the filter fuses into the scan).
+    Result = per-stratum totals + sampled counts + id spot-checks."""
+    from ilogtail_spark.functions.sampling import stratified_sample
+
+    docs = load_table(spark, sf, "documents")
+    sampled = stratified_sample(
+        docs, {"en": 0.5}, stratum_col="lang", id_col="doc_id", default_rate=0.1
+    )
+    samp = sampled.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_sampled_id"),
+        F.max("doc_id").alias("max_sampled_id"),
+    )
+    tot = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tot.join(samp, ["lang", "source"], "left")
+        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        .orderBy("lang", "source")
+    )
+
+
+def _q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate each language's docs in
+    doc_id order, cut every 256 tokens. Two-phase sharded prefix sum —
+    no corpus-wide window on the low-cardinality stream key. Result =
+    per-sequence doc/token/straddle counts (small, hashable)."""
+    from ilogtail_spark.functions.packing import pack_sequences
+    from ilogtail_spark.functions.textstats import token_count
+
+    docs = load_table(spark, sf, "documents").withColumn(
+        "n_tok", token_count(F.col("text")).cast("long")
+    )
+    packed = pack_sequences(
+        docs, budget=256, tokens_col="n_tok", stream_col="lang",
+        order_col="doc_id", shard_span=512,
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("straddles").cast("long")).alias("n_straddles"),
+            F.min("seq_offset").alias("first_offset"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1564,6 +1631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_otel_trace": _q_otel_trace,
         "q66_otel_metric": _q_otel_metric,
         "q67_serializers": _q_serializers,
+        "q68_decontaminate": _q_decontaminate,
+        "q69_stratified_sample": _q_stratified_sample,
+        "q70_sequence_packing": _q_sequence_packing,
     }
 
 
@@ -2469,4 +2539,57 @@ def oracle_sql() -> dict[str, str]:
                   status, err, md5(conv_id) AS conv_md5
            FROM parsed
            WHERE parse_ok AND regexp_matches(err, '^(?:E[0-9]+)$')""",
+        "q68_decontaminate": _SHINGLES_CTE
+        + """
+           , bench AS (
+             SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+             FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 101 = 0)
+           ), corp AS (
+             SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g
+             FROM sh WHERE doc_id % 101 <> 0
+           )
+           SELECT c.doc_id, CAST(c.n_grams AS INTEGER) AS n_grams,
+                  CAST(count(*) AS BIGINT) AS n_contaminated,
+                  round(count(*) / CAST(c.n_grams AS DOUBLE), 6) AS contamination
+           FROM corp c
+           JOIN bench b ON ('0x' || substr(md5(c.g), 1, 15))::BIGINT = b.gh
+           GROUP BY c.doc_id, c.n_grams""",
+        "q69_stratified_sample": """
+           WITH k AS (
+             SELECT lang, source, doc_id,
+                    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                      % 10000
+                    < CASE WHEN lang = 'en' THEN 5000 ELSE 1000 END AS keep
+             FROM documents)
+           SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+                    AS n_sampled,
+                  min(CASE WHEN keep THEN doc_id END) AS min_sampled_id,
+                  max(CASE WHEN keep THEN doc_id END) AS max_sampled_id
+           FROM k GROUP BY lang, source""",
+        "q70_sequence_packing": """
+           WITH d AS (
+             SELECT doc_id, lang,
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS n_tok
+             FROM documents
+           ), c AS (
+             SELECT lang, n_tok,
+                    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id)
+                      - n_tok AS strt
+             FROM d
+           ), p AS (
+             SELECT lang, n_tok, strt // 256 AS seq_id,
+                    strt % 256 AS seq_offset,
+                    (n_tok > 0 AND (strt + n_tok - 1) // 256 > strt // 256)
+                      AS straddles
+             FROM c
+           )
+           SELECT lang, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                  CAST(coalesce(sum(CASE WHEN straddles THEN 1 END), 0)
+                       AS BIGINT) AS n_straddles,
+                  min(seq_offset) AS first_offset
+           FROM p GROUP BY lang, seq_id""",
     }

@@ -320,3 +320,48 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination: flag training documents that share
+    any word ``k``-gram with a benchmark/eval document (the published
+    n-gram-overlap decontamination procedure of the GPT-3 / LLaMA
+    papers, applied corpus-side).
+
+    Scale design (100 TB corpus, benchmark ≪ corpus — that asymmetry
+    IS the operator): the benchmark's distinct gram hashes are a few
+    MB and ride a BROADCAST inner join against the corpus's exploded
+    gram stream, so the corpus never shuffles by gram; the only
+    shuffle is the per-doc hit re-aggregation keyed by ``id_col``
+    (high-cardinality, partial-combined map-side). Returns one row
+    per CONTAMINATED doc: distinct-gram total, hit count, and the
+    contamination ratio.
+    """
+    grams = word_shingles(F.col(text_col), k)
+    bench_g = (
+        benchmark.select(F.explode(grams).alias("_g"))
+        .select(_md5_hash64(F.col("_g")).alias("_gh"))
+        .distinct()
+    )
+    corpus = docs.select(
+        F.col(id_col).alias("_id"), grams.alias("_grams")
+    ).withColumn("_n", F.size("_grams"))
+    hits = (
+        corpus.select("_id", "_n", F.explode("_grams").alias("_g"))
+        .withColumn("_gh", _md5_hash64(F.col("_g")))
+        .join(F.broadcast(bench_g), "_gh")
+        .groupBy("_id", "_n")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    return hits.select(
+        F.col("_id").alias(id_col),
+        F.col("_n").alias("n_grams"),
+        F.col("_hits").alias("n_contaminated"),
+        F.round(F.col("_hits") / F.col("_n"), 6).alias("contamination"),
+    )

@@ -1,0 +1,45 @@
+"""Deterministic sampling for training-data curation.
+
+Hash-based stratified sampling: membership is a pure function of the
+row id and the stratum's rate — reproducible across runs, engines and
+cluster sizes, no RNG state, no shuffle. This is the only sampling
+form that survives 100 TB: a seeded ``df.sample`` resamples on task
+retry and a per-stratum exact-quota draw needs a global sort per
+stratum; the hash filter is a narrow expression the scan pipeline
+absorbs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ilogtail_spark.common import md5_hash64
+
+RATE_DENOM = 10_000  # rates quantize to basis points
+
+
+def sample_bucket(id_col: Column) -> Column:
+    """The row's deterministic bucket in [0, RATE_DENOM): shared
+    md5→60-bit primitive mod 10000 (mirrored in DuckDB as
+    ('0x'||substr(md5(x),1,15))::BIGINT % 10000 — the hash is 60-bit
+    positive, so % == pmod in both engines)."""
+    return F.pmod(md5_hash64(id_col.cast("string")), F.lit(RATE_DENOM))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff its hash bucket < its stratum's rate (in
+    basis points). ``rates`` is a small literal dict → an inline
+    CASE chain, not even a broadcast join; the whole operator is a
+    filter fused into the scan stage."""
+    bp = F.lit(int(round(default_rate * RATE_DENOM)))
+    for stratum, rate in sorted(rates.items()):
+        bp = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(rate * RATE_DENOM)))
+        ).otherwise(bp)
+    return df.filter(sample_bucket(F.col(id_col)) < bp)

@@ -1,0 +1,128 @@
+"""Training-data curation operators: decontamination, deterministic
+stratified sampling, GPT-style sequence packing. Semantics goldens +
+the plan-shape properties that make each scale-safe."""
+
+from pyspark.sql import functions as F
+
+from ilogtail_spark.functions.dedup import decontaminate
+from ilogtail_spark.functions.packing import pack_sequences
+from ilogtail_spark.functions.sampling import (
+    RATE_DENOM,
+    sample_bucket,
+    stratified_sample,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- decontam
+
+def test_decontaminate_flags_shared_grams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota"),           # clean
+            (3, "beta gamma delta epsilon"),      # shares 'beta gamma delta'
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, k=3).collect()}
+    assert set(out) == {1, 3}
+    # doc 1: grams {abg, bgd} -> both in benchmark
+    assert out[1]["n_grams"] == 2 and out[1]["n_contaminated"] == 2
+    assert out[1]["contamination"] == 1.0
+    assert out[3]["n_contaminated"] == 2  # 'beta gamma delta', 'gamma delta epsilon'
+
+
+def test_decontaminate_benchmark_rides_broadcast(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    bench = docs.limit(3)
+    plan = _plan(decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, {"en": 0.5}, stratum_col="lang", id_col="doc_id", default_rate=0.1
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # deterministic: identical on re-run
+    assert got == sorted(r["doc_id"] for r in out.collect())
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 1000 docs per stratum; hash-uniform so counts land near rate
+    assert abs(by_lang["en"] - 500) < 100
+    assert abs(by_lang.get("de", 0) - 100) < 60
+
+
+def test_stratified_sample_is_narrow(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    plan = _plan(
+        stratified_sample(df, {"en": 0.5}, stratum_col="lang", id_col="doc_id")
+    )
+    assert "Exchange" not in plan  # a pure filter: no shuffle, no join
+
+
+def test_sample_bucket_range(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    b = df.select(sample_bucket(F.col("doc_id")).alias("b"))
+    lo, hi = b.agg(F.min("b"), F.max("b")).first()
+    assert 0 <= lo and hi < RATE_DENOM
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_sequences_matches_single_stream_scan(spark):
+    rows = [(i, "s", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, stream string, n_tok long")
+    out = pack_sequences(
+        df, budget=64, tokens_col="n_tok", stream_col="stream",
+        order_col="doc_id", shard_span=16,
+    ).orderBy("doc_id").collect()
+    # reference: plain sequential scan
+    cum = 0
+    for r in sorted(rows):
+        start, end = cum, cum + r[2]
+        cum = end
+        got = next(x for x in out if x["doc_id"] == r[0])
+        assert got["seq_id"] == start // 64, (r, got)
+        assert got["seq_offset"] == start % 64
+        assert got["straddles"] == (r[2] > 0 and (end - 1) // 64 > start // 64)
+
+
+def test_pack_sequences_no_stream_wide_window(spark):
+    """The scale property: no Window partitioned by the stream key
+    alone — prefix sums run within (stream, shard) and the only
+    stream-wide window is over the tiny shard-totals aggregate."""
+    df = spark.createDataFrame(
+        [(i, "en", 5) for i in range(100)], "doc_id long, stream string, n_tok long"
+    )
+    plan = _plan(
+        pack_sequences(
+            df, budget=64, tokens_col="n_tok", stream_col="stream",
+            order_col="doc_id", shard_span=16,
+        )
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for line in plan.split("\n"):
+        if "Window" in line and "partitionBy" not in line:
+            # window spec prints as [partition: stream, _shard] — the
+            # corpus-side window must carry the shard key
+            if "_shard" not in line and "_shard_tokens" not in line \
+               and "_shard_offset" not in line and "windowspecdefinition" in line.lower():
+                raise AssertionError(f"stream-wide window on corpus: {line}")
