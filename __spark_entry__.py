@@ -1516,21 +1516,21 @@ def _q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     a function of md5(doc_id) — reproducible across runs/engines/
     cluster sizes, zero shuffle (the filter fuses into the scan).
     Result = per-stratum totals + sampled counts + id spot-checks."""
-    from ilogtail_spark.functions.sampling import stratified_sample
+    from ilogtail_spark.functions.sampling import keep_row
 
     docs = load_table(spark, sf, "documents")
-    sampled = stratified_sample(
-        docs, {"en": 0.5}, stratum_col="lang", id_col="doc_id", default_rate=0.1
-    )
-    samp = sampled.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.min("doc_id").alias("min_sampled_id"),
-        F.max("doc_id").alias("max_sampled_id"),
-    )
-    tot = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+    keep = keep_row({"en": 0.5}, stratum_col="lang", id_col="doc_id", default_rate=0.1)
+    # ONE scan, one aggregate: keep is a flag, not a filter — totals
+    # and sampled counts come from the same pass (and NULL strata
+    # can't fall through a join's null-unequal keys)
     return (
-        tot.join(samp, ["lang", "source"], "left")
-        .withColumn("n_sampled", F.coalesce("n_sampled", F.lit(0)))
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(keep.cast("long")), F.lit(0)).alias("n_sampled"),
+            F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_id"),
+            F.max(F.when(keep, F.col("doc_id"))).alias("max_sampled_id"),
+        )
         .orderBy("lang", "source")
     )
 

@@ -252,6 +252,23 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return sums.select(F.col("_id").alias("doc_id"), sig.alias("simhash"))
 
 
+def _gram_index(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(_id, _n, _gh) inverted gram index: doc id, distinct-shingle
+    count, md5-hashed exploded grams. |set| rides through the explode
+    so downstream aggregations never need a post-join with a sizes
+    table; the 8-byte hash replaces the gram string as the shuffle/
+    join key. Shared by ngram_jaccard_pairs and decontaminate — one
+    gram-hash pipeline, one definition."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh")
+    )
+    return sh.select(
+        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g")
+    ).select("_id", "_n", _md5_hash64(F.col("_g")).alias("_gh"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -279,15 +296,7 @@ def ngram_jaccard_pairs(
     on skewed corpora). Set sizes ``_n`` are computed BEFORE capping,
     keeping the denominator exact.
     """
-    sh = spread(df).select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col)).alias("_sh")
-    )
-    # carry |set| through the explode: the candidate groupBy then has
-    # both sizes in its key and NO post-join with a sizes table is
-    # needed (two fewer shuffles; sizes cost 8 bytes per inverted row)
-    inv = sh.select(
-        "_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_g")
-    ).select("_id", "_n", _md5_hash64(F.col("_g")).alias("_gh"))
+    inv = _gram_index(spread(df), id_col, text_col)
     if max_doc_freq is not None:
         # the OVER-cap grams are few (stop-word tail of the gram
         # distribution), so: aggregate doc frequencies (map-side
@@ -343,18 +352,11 @@ def decontaminate(
     per CONTAMINATED doc: distinct-gram total, hit count, and the
     contamination ratio.
     """
-    grams = word_shingles(F.col(text_col), k)
     bench_g = (
-        benchmark.select(F.explode(grams).alias("_g"))
-        .select(_md5_hash64(F.col("_g")).alias("_gh"))
-        .distinct()
+        _gram_index(benchmark, id_col, text_col, k).select("_gh").distinct()
     )
-    corpus = docs.select(
-        F.col(id_col).alias("_id"), grams.alias("_grams")
-    ).withColumn("_n", F.size("_grams"))
     hits = (
-        corpus.select("_id", "_n", F.explode("_grams").alias("_g"))
-        .withColumn("_gh", _md5_hash64(F.col("_g")))
+        _gram_index(docs, id_col, text_col, k)
         .join(F.broadcast(bench_g), "_gh")
         .groupBy("_id", "_n")
         .agg(F.count(F.lit(1)).alias("_hits"))

@@ -66,10 +66,13 @@ def pack_sequences(
             "_shard_offset"
         ),
     )
+    # eqNullSafe: a NULL stream (or order) key is still a stream — the
+    # aggregate keeps the NULL group, and a null-unequal inner join
+    # would silently drop every such row
     x = x.join(
         F.broadcast(offsets),
-        (x[stream_col] == offsets["_off_stream"])
-        & (x["_shard"] == offsets["_off_shard"]),
+        x[stream_col].eqNullSafe(offsets["_off_stream"])
+        & x["_shard"].eqNullSafe(offsets["_off_shard"]),
     ).drop("_off_stream", "_off_shard")
     start = F.col("_shard_offset") + F.col("_cum_in") - F.col(tokens_col)
     end = F.col("_shard_offset") + F.col("_cum_in")

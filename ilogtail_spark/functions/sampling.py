@@ -26,6 +26,31 @@ def sample_bucket(id_col: Column) -> Column:
     return F.pmod(md5_hash64(id_col.cast("string")), F.lit(RATE_DENOM))
 
 
+def rate_bp(
+    rates: dict[str, float], stratum_col: str, default_rate: float = 0.0
+) -> Column:
+    """The stratum's sampling rate in basis points, as an inline CASE
+    chain over the (small, literal) rate dict — no join at all."""
+    bp = F.lit(int(round(default_rate * RATE_DENOM)))
+    for stratum, rate in sorted(rates.items()):
+        bp = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(round(rate * RATE_DENOM)))
+        ).otherwise(bp)
+    return bp
+
+
+def keep_row(
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str,
+    default_rate: float = 0.0,
+) -> Column:
+    """Boolean sampling-membership predicate (usable as a filter OR as
+    a conditional-aggregation flag — the latter counts sampled and
+    total rows in ONE scan)."""
+    return sample_bucket(F.col(id_col)) < rate_bp(rates, stratum_col, default_rate)
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -34,12 +59,6 @@ def stratified_sample(
     default_rate: float = 0.0,
 ) -> DataFrame:
     """Keep each row iff its hash bucket < its stratum's rate (in
-    basis points). ``rates`` is a small literal dict → an inline
-    CASE chain, not even a broadcast join; the whole operator is a
-    filter fused into the scan stage."""
-    bp = F.lit(int(round(default_rate * RATE_DENOM)))
-    for stratum, rate in sorted(rates.items()):
-        bp = F.when(
-            F.col(stratum_col) == stratum, F.lit(int(round(rate * RATE_DENOM)))
-        ).otherwise(bp)
-    return df.filter(sample_bucket(F.col(id_col)) < bp)
+    basis points). The whole operator is a filter fused into the scan
+    stage."""
+    return df.filter(keep_row(rates, stratum_col, id_col, default_rate))

@@ -1063,6 +1063,13 @@ def parse_prom_exposition(
                 ).alias("__type__")
             )
         )
+        # materialize the dictionary ONCE: the exact and family joins
+        # below broadcast two differently-projected copies, whose
+        # canonicalized plans differ, so ReuseExchange would not fire
+        # and the '#'-line scan would run twice per query (streaming
+        # frames can't checkpoint — they accept the second scan)
+        if not types.isStreaming:
+            types = types.localCheckpoint(eager=True)
         # lookup precedence: a TYPE line declaring the sample's VERBATIM
         # name wins (a counter legitimately named *_count keeps its own
         # declaration); only otherwise fall back to the suffix-stripped

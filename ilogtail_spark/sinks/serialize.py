@@ -208,7 +208,7 @@ def serialize_influx(
         F.lit(" "),
         _esc(field, ",= "),
         F.lit("="),
-        _fmt_float(F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))),
+        _fmt_float(F.coalesce(F.col(value_col).try_cast("double"), F.lit(0.0))),
         F.when(F.coalesce(ts, F.lit("")) == "", F.lit("")).otherwise(
             F.concat(F.lit(" "), ts)
         ),
