@@ -1562,6 +1562,62 @@ def _q_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data curation: language/length filter →
+    exact dedup (md5 canonical) → decontaminate vs the benchmark
+    split → deterministic stratified sample → GPT-style packing →
+    per-sequence stats. The composite is the point: every stage is
+    the scale-safe form (hash groupBy, broadcast benchmark grams,
+    narrow hash sample, sharded prefix sum) chained without ever
+    collecting to the driver."""
+    from ilogtail_spark.functions.dedup import decontaminate, exact_dedup
+    from ilogtail_spark.functions.packing import pack_sequences
+    from ilogtail_spark.functions.sampling import stratified_sample
+    from ilogtail_spark.functions.textstats import token_count
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    # the fixture has no exact duplicates — plant deterministic copies
+    # (same convention as q28's planted near-dups) so the dedup stage
+    # provably removes rows
+    copies = docs.filter(
+        (F.col("doc_id") % 23 == 0) & (F.col("lang") == "en")
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    base = (
+        docs.unionByName(copies)
+        .filter((F.col("lang") == "en") & (F.col("doc_id") % 101 != 0))
+        .withColumn("n_tok", token_count(F.col("text")).cast("long"))
+        .filter(F.col("n_tok") >= 20)
+    )
+    canon = exact_dedup(base).select("text_hash", "canonical_id")
+    ded = (
+        base.withColumn("text_hash", F.md5("text"))
+        .join(canon, "text_hash")
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .drop("text_hash", "canonical_id")
+    )
+    cont = decontaminate(ded, bench, k=3).select("doc_id")
+    clean = ded.join(cont, "doc_id", "left_anti")
+    samp = stratified_sample(
+        clean, {"src0": 0.5}, stratum_col="source", id_col="doc_id",
+        default_rate=0.25,
+    )
+    packed = pack_sequences(
+        samp, budget=128, tokens_col="n_tok", stream_col="source",
+        order_col="doc_id", shard_span=256,
+    )
+    return (
+        packed.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.col("straddles").cast("long")).alias("n_straddles"),
+            F.min("seq_offset").alias("first_offset"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_transcripts": _q_transcripts,
@@ -1634,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_decontaminate": _q_decontaminate,
         "q69_stratified_sample": _q_stratified_sample,
         "q70_sequence_packing": _q_sequence_packing,
+        "q71_curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -2592,4 +2649,72 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_straddles,
                   min(seq_offset) AS first_offset
            FROM p GROUP BY lang, seq_id""",
+        "q71_curation_pipeline": """
+           WITH bench_w AS (
+             SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+             FROM documents WHERE doc_id % 101 = 0
+           ), bench_g AS (
+             SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS gh
+             FROM (
+               SELECT unnest(CASE WHEN len(w) >= 3
+                 THEN list_transform(range(len(w)-2),
+                        i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                 ELSE [array_to_string(w, ' ')] END) AS g
+               FROM bench_w)
+           ), docs_plus AS (
+             SELECT doc_id, text, lang, source FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, text, lang, source FROM documents
+             WHERE doc_id % 23 = 0 AND lang = 'en'
+           ), base AS (
+             SELECT doc_id, source, text,
+                    CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                    END AS n_tok
+             FROM docs_plus
+             WHERE lang = 'en' AND doc_id % 101 <> 0
+           ), flt AS (
+             SELECT * FROM base WHERE n_tok >= 20
+           ), ded AS (
+             SELECT * FROM flt
+             QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+           ), ded_g AS (
+             SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+               THEN list_transform(range(len(w)-2),
+                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+               ELSE [array_to_string(w, ' ')] END) AS g
+             FROM (SELECT doc_id,
+                          regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                   FROM ded)
+           ), cont AS (
+             SELECT DISTINCT d.doc_id
+             FROM ded_g d
+             JOIN bench_g b
+               ON ('0x' || substr(md5(d.g), 1, 15))::BIGINT = b.gh
+           ), clean AS (
+             SELECT * FROM ded
+             WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+           ), samp AS (
+             SELECT * FROM clean
+             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 10000
+                   < CASE WHEN source = 'src0' THEN 5000 ELSE 2500 END
+           ), c AS (
+             SELECT source, n_tok,
+                    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                      - n_tok AS strt
+             FROM samp
+           ), p AS (
+             SELECT source, n_tok, strt // 128 AS seq_id,
+                    strt % 128 AS seq_offset,
+                    (n_tok > 0 AND (strt + n_tok - 1) // 128 > strt // 128)
+                      AS straddles
+             FROM c
+           )
+           SELECT source, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                  CAST(coalesce(sum(CASE WHEN straddles THEN 1 END), 0)
+                       AS BIGINT) AS n_straddles,
+                  min(seq_offset) AS first_offset
+           FROM p GROUP BY source, seq_id""",
     }

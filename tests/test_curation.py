@@ -126,3 +126,34 @@ def test_pack_sequences_no_stream_wide_window(spark):
             if "_shard" not in line and "_shard_tokens" not in line \
                and "_shard_offset" not in line and "windowspecdefinition" in line.lower():
                 raise AssertionError(f"stream-wide window on corpus: {line}")
+
+
+# ------------------------------------------------------------ q71 funnel
+
+def test_curation_pipeline_stages_nonvacuous(spark, sf_dir):
+    """Every stage of the q71 composite must remove/annotate rows on
+    the fixture: planted exact copies dedup away, some docs are
+    contaminated, the sample is a strict subset, and sequences pack
+    more than one doc."""
+    import __spark_entry__ as entrymod
+    from ilogtail_spark.functions.dedup import decontaminate, exact_dedup
+    from ilogtail_spark.functions.textstats import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    copies = docs.filter(
+        (F.col("doc_id") % 23 == 0) & (F.col("lang") == "en")
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    n_copies = copies.count()
+    assert n_copies > 0
+    base = (
+        docs.unionByName(copies)
+        .filter((F.col("lang") == "en") & (F.col("doc_id") % 101 != 0))
+        .withColumn("n_tok", token_count(F.col("text")).cast("long"))
+        .filter(F.col("n_tok") >= 20)
+    )
+    dup_groups = exact_dedup(base).filter(F.col("n_copies") > 1).count()
+    assert dup_groups > 0  # the planted copies form real dup groups
+    bench = docs.filter(F.col("doc_id") % 101 == 0)
+    assert decontaminate(base, bench).count() > 0
+    out = entrymod.queries()["q71_curation_pipeline"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in out) > len(out)  # packing packs
