@@ -225,3 +225,36 @@ def stateful_rate_limit(
     return stream.groupBy(*[F.col(k) for k in keys]).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def session_stream_agg(
+    stream: DataFrame,
+    keys: list[str],
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessions with Spark's NATIVE ``session_window`` — the
+    streaming twin of operators/agg.py::sessionize (q56). The state
+    store merges overlapping per-event windows and the watermark
+    finalizes+evicts a session once event time passes its close, so
+    state is bounded by the number of OPEN sessions, not history.
+
+    Boundary nuance vs the batch closed form: ``session_window`` ends
+    are exclusive, so a gap of EXACTLY the gap duration starts a new
+    session here, while the batch lag+prefix-sum form (``> gap``)
+    keeps it in the old one — same off-by-one Spark itself has between
+    the two idioms; callers comparing engines should avoid exact-gap
+    fixtures or shift the batch predicate to ``>=``.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_close"),
+            "n_events",
+        )
+    )

@@ -209,3 +209,48 @@ def test_stateful_multiline_merge_across_microbatches(spark, tmp_path):
     # the reference's unflushed tail; the pre-start junk line is a
     # SINGLE_LINE unmatched event.
     assert got == {(0, "junk"), (1, "START a\ncont b\ncont c")}
+
+
+def test_session_stream_agg_matches_batch_sessions(spark, tmp_path):
+    """Native session_window sessions equal the batch lag+prefix-sum
+    sessionize on gap-unambiguous data (no gap equals the boundary
+    exactly), with state merged across events."""
+    import datetime as dt
+
+    from ilogtail_spark.operators.agg import sessionize
+    from ilogtail_spark.streaming.job import session_stream_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for conv, offs in {
+        "c1": [0, 60, 120, 4000, 4060],       # two sessions
+        "c2": [0, 30, 7200],                  # two sessions
+    }.items():
+        rows += [(conv, base + dt.timedelta(seconds=o)) for o in offs]
+    src_dir = str(tmp_path / "sess_src")
+    df = spark.createDataFrame(rows, "conv_id string, ts timestamp")
+    df.coalesce(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("conv_id string, ts timestamp")
+        .parquet(src_dir)
+    )
+    agg = session_stream_agg(stream, ["conv_id"], gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["session_start"].isoformat()): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_agg").collect()
+    }
+    exp = {
+        (r["conv_id"], r["session_start"].isoformat()): r["n_events"]
+        for r in sessionize(df, ["conv_id"], gap_seconds=1800).collect()
+    }
+    assert got == exp
+    assert len(got) == 4
