@@ -39,6 +39,44 @@ from ilogtail_spark.sources.transcripts import (
 PARSE_TYPES = {"status": "int", "latency_ms": "int"}
 
 
+def pipeline_from_yaml(src: str):
+    """Load a reference-style YAML collection config (the shape the
+    reference ships in example_config/data_pipelines/*.yaml —
+    ``enable`` + ``inputs``/``processors``/``aggregators``/``flushers``
+    arrays whose entries carry ``Type`` plus plugin params,
+    core/config/CollectionConfig.h:35-41) and compose its processor +
+    aggregator chain through the operator registry.
+
+    Returns ``(transform, flusher_configs)``: ``transform`` is the
+    df→df chain (identity when ``enable: false``); flusher entries are
+    returned verbatim for the caller's sink layer — ``inputs`` are
+    intentionally ignored (the caller supplies the scan; sources are
+    tables per the north star) and external-service flushers stay out
+    of scope.
+
+    ``src`` is YAML text, or a path to a .yaml file.
+    """
+    import os
+
+    import yaml
+
+    if "\n" not in src and os.path.exists(src):
+        with open(src) as f:
+            src = f.read()
+    cfg = yaml.safe_load(src) or {}
+    if not cfg.get("enable", True):
+        return (lambda df: df), list(cfg.get("flushers") or [])
+    steps = []
+    for step in list(cfg.get("processors") or []) + list(
+        cfg.get("aggregators") or []
+    ):
+        step = dict(step)
+        # YAML configs use Go-style 'Type'; build_pipeline takes 'type'
+        name = step.pop("Type", None) or step.pop("type")
+        steps.append({"type": name, **step})
+    return build_pipeline(steps), list(cfg.get("flushers") or [])
+
+
 def build_pipeline(config: list[dict]):
     """Compose a chain of registered operators from a config list —
     the reference's plugin-array-is-the-plan model (no optimizer

@@ -32,6 +32,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--num-buckets", type=int, default=8)
     ap.add_argument("--engine", choices=["dissect", "native", "pandas"], default="dissect",
                     help="parse path: structural dissect (scales best), JVM regexp_extract, or vectorized pandas UDF")
+    ap.add_argument("--config", default=None,
+                    help="reference-style YAML collection config: its processor+aggregator chain REPLACES the built-in parse/enrich stages (inputs ignored, external flushers skipped)")
     args = ap.parse_args(argv)
 
     # under spark-submit the session (master, deploy conf) comes from
@@ -59,12 +61,31 @@ def main(argv: list[str] | None = None) -> None:
     metrics = StageMetrics()
     bucket_seq = iter(range(1_000_000))
 
+    yaml_transform = None
+    if args.config:
+        from pyspark.sql import functions as F
+
+        from ilogtail_spark.plans.pipeline import pipeline_from_yaml
+
+        yaml_transform, _flushers = pipeline_from_yaml(args.config)
+
     def pipe(d):
         # unique per-invocation stage names: in --resume mode pipe()
         # runs once per bucket and each Observation must be distinct
         # or only the last bucket's counters survive
         tag = f"b{next(bucket_seq)}" if args.resume else "all"
         d = metrics.observe_stage(d, f"input[{tag}]")
+        if yaml_transform is not None:
+            # reference configs address the raw line under the default
+            # content key (plugin.go DefaultContentKey "content"); the
+            # transcript scan calls it `text`
+            if "content" not in d.columns and "text" in d.columns:
+                d = d.withColumn("content", F.col("text"))
+            d = yaml_transform(d)
+            d = metrics.observe_stage(d, f"config[{tag}]")
+            if "__sink__" not in d.columns:
+                d = d.withColumn("__sink__", F.lit("default"))
+            return d
         d = parse_stage(d, engine=args.engine)
         d = metrics.observe_stage(d, f"parse[{tag}]")
         d = enrich_stage(d, spark)
@@ -87,12 +108,15 @@ def main(argv: list[str] | None = None) -> None:
         paths = write_per_sink(routed, os.path.join(args.output, "routed"), sinks)
         routed_summary = {"sinks": sorted(paths)}
 
-    sink_aggregates(routed).write.mode("overwrite").parquet(
-        os.path.join(args.output, "sink_aggregates")
-    )
-    tool_histogram(routed).write.mode("overwrite").parquet(
-        os.path.join(args.output, "tool_histogram")
-    )
+    if yaml_transform is None:
+        # the built-in pipeline's summary tables assume its parsed
+        # columns; a YAML config defines its own output shape
+        sink_aggregates(routed).write.mode("overwrite").parquet(
+            os.path.join(args.output, "sink_aggregates")
+        )
+        tool_histogram(routed).write.mode("overwrite").parquet(
+            os.path.join(args.output, "tool_histogram")
+        )
     metrics.to_df(spark).write.mode("overwrite").parquet(
         os.path.join(args.output, "metrics")
     )

@@ -118,3 +118,63 @@ def test_metrics_observation(spark, sf_dir):
     assert collected[0]["in_events_total"] == total
     fails = df.filter(~F.col(PARSE_OK_KEY)).count()
     assert collected[0]["out_failed_events_total"] == fails
+
+
+def test_reference_example_yaml_runs_unchanged(spark):
+    """The reference's SHIPPED example config
+    (example_config/data_pipelines/nginx-regex.yaml) loads and parses
+    its own documented sample line to its documented output — inputs
+    are ignored (we supply the scan), flusher configs come back
+    verbatim for the sink layer."""
+    from ilogtail_spark.plans.pipeline import pipeline_from_yaml
+
+    yaml_text = r"""
+enable: true
+inputs:
+  - Type: input_file
+    FilePaths:
+      - /home/test-log/*.log
+processors:
+  - Type: processor_regex
+    SourceKey: content
+    Regex: '([\d\.:]+) - (\S+) \[(\S+) \S+\] \"(\S+) (\S+) ([^\\"]+)\" (\d+) (\d+) \"([^\\"]*)\" \"([^\\"]*)\" \"([^\\"]*)\"'
+    Keys:
+      - remote_addr
+      - remote_user
+      - time_local
+      - method
+      - url
+      - protocol
+      - status
+      - body_bytes_sent
+      - http_referer
+      - http_user_agent
+      - http_x_forwarded_for
+flushers:
+  - Type: flusher_sls
+    Endpoint: cn-xxx.log.aliyuncs.com
+    ProjectName: test_project
+    LogstoreName: test_logstore
+  - Type: flusher_stdout
+    OnlyStdout: true
+"""
+    transform, flushers = pipeline_from_yaml(yaml_text)
+    # the comment block's documented in/out pair (nginx-regex.yaml:17-19)
+    line = ('::1 - - [18/Jul/2022:07:28:01 +0000] "GET /hello/ilogtail '
+            'HTTP/1.1" 404 153 "-" "curl/7.74.0" "-"')
+    df = spark.createDataFrame([(line,)], "content string")
+    row = transform(df).collect()[0]
+    assert row["remote_addr"] == "::1"
+    assert row["time_local"] == "18/Jul/2022:07:28:01"
+    assert row["method"] == "GET" and row["url"] == "/hello/ilogtail"
+    assert row["status"] == "404" and row["body_bytes_sent"] == "153"
+    assert row["http_user_agent"] == "curl/7.74.0"
+    assert [f["Type"] for f in flushers] == ["flusher_sls", "flusher_stdout"]
+
+
+def test_yaml_config_disabled_is_identity(spark):
+    from ilogtail_spark.plans.pipeline import pipeline_from_yaml
+
+    transform, _ = pipeline_from_yaml("enable: false\nprocessors:\n  - Type: nope\n")
+    df = spark.createDataFrame([(1,)], "x int")
+    assert transform(df) is df
