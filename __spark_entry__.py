@@ -1111,6 +1111,84 @@ def _q_multiline_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("conv_id", "turn_idx", F.col("line").alias("text"))
 
 
+def _q_split_log_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_split_log_regex, exact Go semantics
+    (split_log_regex.go:52-100): each conversation's \\n-joined block
+    (the file reader's read-block shape) splits before every line
+    FULLY matching the boundary regex; unmatched runs — prose turns,
+    malformed invokes, the head — concatenate onto the current log.
+    The operator is a narrow per-row array computation (zero
+    shuffle); only the block-building groupBy shuffles, bounded by
+    conversation length."""
+    from ilogtail_spark.operators.split import split_log_regex
+
+    df = derive_transcripts(spark, sf)
+    blocks = df.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("turn_idx").alias("o"), F.col("text").alias("v")
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            "\n",
+        ).alias("content")
+    )
+    out = split_log_regex(
+        blocks,
+        "content",
+        r"invoke tool=\S+ status=\d+ latency_ms=\d+ .*",
+        preserve_others=True,
+    )
+    return out.select(
+        "conv_id",
+        F.col("content").alias("chunk"),
+        F.size(F.split(F.col("content"), "\n", -1)).alias("chunk_lines"),
+    )
+
+
+def _q_yaml_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's YAML collection-config surface end-to-end
+    (core/config/CollectionConfig.h:35-41; example_config/
+    data_pipelines/*.yaml shape): a Type-keyed processor array —
+    regex parse → full-match include filter → constant enrich — loads
+    verbatim through pipeline_from_yaml and composes via the
+    registry; flusher entries come back for the sink layer."""
+    from ilogtail_spark.plans.pipeline import pipeline_from_yaml
+
+    yaml_text = r"""
+enable: true
+inputs:
+  - Type: input_file
+    FilePaths: ["/home/test-log/*.log"]
+processors:
+  - Type: processor_regex
+    SourceKey: text
+    Regex: 'tool=(\w+) status=(\d+) latency_ms=(\d+) "(\w+) ([^"\s]+)" err=(\S+)'
+    Keys: [tool_call, status, latency_ms, method, url, err]
+  - Type: processor_filter_regex
+    Include:
+      status: '[45]\d\d'
+  - Type: processor_add_fields
+    Fields:
+      env: prod
+flushers:
+  - Type: flusher_stdout
+    OnlyStdout: true
+"""
+    transform, flushers = pipeline_from_yaml(yaml_text)
+    assert [f["Type"] for f in flushers] == ["flusher_stdout"]
+    out = transform(derive_transcripts(spark, sf))
+    return out.select(
+        "conv_id", "turn_idx", "tool_call", "status", "latency_ms",
+        "method", "url", "err", "env",
+    )
+
+
 def _q_geoip_config(spark: SparkSession, sf: str) -> DataFrame:
     """processor_geoip + processor_cloud_meta through the config-driven
     registry (processor_geoip.go:35-53 with a CSV range table standing
@@ -1691,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_stratified_sample": _q_stratified_sample,
         "q70_sequence_packing": _q_sequence_packing,
         "q71_curation_pipeline": _q_curation_pipeline,
+        "q72_split_log_regex": _q_split_log_regex,
+        "q73_yaml_pipeline": _q_yaml_pipeline,
     }
 
 
@@ -2717,4 +2797,41 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n_straddles,
                   min(seq_offset) AS first_offset
            FROM p GROUP BY source, seq_id""",
+        # split_log_regex's boundary marks are per-LINE, and transcript
+        # texts carry no newlines, so the \n-join + re-split round-trip
+        # reconstitutes the rows: the oracle marks boundaries directly
+        # on turns (first turn or a full regex match opens a chunk) and
+        # re-aggregates — same closed form the operator evaluates
+        # narrowly per block
+        "q72_split_log_regex": TRANSCRIPTS_CTE
+        + r"""
+           , marked AS (
+             SELECT conv_id, turn_idx, text,
+                    (turn_idx = min(turn_idx) OVER (PARTITION BY conv_id)
+                     OR regexp_full_match(
+                          text,
+                          'invoke tool=\S+ status=\d+ latency_ms=\d+ .*'))
+                      AS is_b
+             FROM transcripts
+           ), gids AS (
+             SELECT *, sum(CASE WHEN is_b THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gid
+             FROM marked
+           )
+           SELECT conv_id,
+                  string_agg(text, chr(10) ORDER BY turn_idx) AS chunk,
+                  CAST(count(*) AS INT) AS chunk_lines
+           FROM gids GROUP BY conv_id, gid""",
+        # the YAML chain = PARSED_CTE's regex parse + full-match
+        # status filter + constant env column; strings stay strings
+        # (the reference config declares no type casts)
+        "q73_yaml_pipeline": PARSED_CTE
+        + """
+           SELECT conv_id, turn_idx, tool_call,
+                  CAST(status AS VARCHAR) AS status,
+                  CAST(latency_ms AS VARCHAR) AS latency_ms,
+                  method, url, err, 'prod' AS env
+           FROM parsed
+           WHERE parse_ok
+             AND regexp_matches(CAST(status AS VARCHAR), '^(?:[45][0-9][0-9])$')""",
     }

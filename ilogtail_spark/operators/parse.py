@@ -385,6 +385,65 @@ def parse_json(
     return _apply_failure_contract(out, source, ok, opts)
 
 
+def _flatten_json_map(
+    source_col: Column,
+    depth: int,
+    connector: str,
+    base: str,
+    first_connector: str,
+) -> Column:
+    """Flattened map expression for processor_json's key building
+    (processor_json.go:134-201): every level-1 key becomes
+    ``base + first_connector + key`` (the Go code inserts
+    getConnector(1) between the empty preKey and the first-level key
+    — that is why the shipped file-json.yaml sets ExpandConnector
+    ""), level-2 keys join with ``connector``. ``depth`` 1 keeps
+    nested objects as raw JSON fragments; depth 0 (Go "unlimited") or
+    ≥2 expands one nested level and leaves deeper values as raw JSON
+    — our documented cap. Duplicate flattened keys (``{"a_b":1,
+    "a":{"b":2}}``) fold last-wins, never throw.
+    """
+    from ilogtail_spark.common import map_last_wins
+
+    inner = "map<string,string>"
+    cur = F.from_json(source_col, inner)
+    lead = F.lit(base + first_connector)
+
+    def lvl1(kv: Column) -> Column:
+        return F.array(
+            F.struct(
+                F.concat(lead, kv["key"]).alias("key"),
+                kv["value"].alias("value"),
+            )
+        )
+
+    entries = F.map_entries(cur)
+    if depth == 1:
+        expanded = F.flatten(F.transform(entries, lvl1))
+    else:
+        expanded = F.flatten(
+            F.transform(
+                entries,
+                lambda kv: F.when(
+                    F.from_json(kv["value"], inner).isNotNull(),
+                    F.transform(
+                        F.map_entries(F.from_json(kv["value"], inner)),
+                        lambda kv2: F.struct(
+                            F.concat(
+                                lead,
+                                kv["key"],
+                                F.lit(connector),
+                                kv2["key"],
+                            ).alias("key"),
+                            kv2["value"].alias("value"),
+                        ),
+                    ),
+                ).otherwise(lvl1(kv)),
+            )
+        )
+    return F.when(cur.isNotNull(), map_last_wins(expanded))
+
+
 def expand_json(
     df: DataFrame,
     source: str,
@@ -395,52 +454,40 @@ def expand_json(
     """processor_json nested expansion (processor_json.go:29-42,59).
 
     Flattens nested objects up to ``depth`` with ``connector``-joined
-    key paths into a map column ``<source>_expanded``. Implemented as
-    repeated map explode/re-aggregation-free JVM expressions via
-    from_json into nested maps; depth>2 falls back to string maps of
-    JSON fragments (matching the reference's behavior of leaving
-    deeper values as raw JSON strings).
+    key paths into a map column ``<source>_expanded``; depth>2 falls
+    back to string maps of JSON fragments (matching the reference's
+    behavior of leaving deeper values as raw JSON strings).
     """
-    cur = F.from_json(F.col(source), "map<string,string>")
-    if depth <= 1:
-        out = cur
-    else:
-        # one extra level: values that are JSON objects get expanded
-        inner = "map<string,string>"
-
-        def level(mapcol: Column) -> Column:
-            entries = F.map_entries(mapcol)
-            expanded = F.flatten(
-                F.transform(
-                    entries,
-                    lambda kv: F.when(
-                        F.from_json(kv["value"], inner).isNotNull(),
-                        F.transform(
-                            F.map_entries(F.from_json(kv["value"], inner)),
-                            lambda kv2: F.struct(
-                                F.concat(
-                                    kv["key"], F.lit(connector), kv2["key"]
-                                ).alias("key"),
-                                kv2["value"].alias("value"),
-                            ),
-                        ),
-                    ).otherwise(F.array(kv)),
-                )
-            )
-            return F.map_from_entries(expanded)
-
-        out = level(cur)
-    if prefix:
-        out = F.map_from_entries(
-            F.transform(
-                F.map_entries(out),
-                lambda kv: F.struct(
-                    F.concat(F.lit(prefix), kv["key"]).alias("key"),
-                    kv["value"].alias("value"),
-                ),
-            )
-        )
+    out = _flatten_json_map(
+        F.col(source), depth, connector, base=prefix, first_connector=""
+    )
     return df.withColumn(f"{source}_expanded", out)
+
+
+def parse_json_expanded(
+    df: DataFrame,
+    source: str = "text",
+    attrs_col: str = "attrs",
+    depth: int = 0,
+    connector: str = "_",
+    prefix: str = "",
+    use_source_key_as_prefix: bool = False,
+    ignore_first_connector: bool = False,
+    options: ParserOptions | None = None,
+) -> DataFrame:
+    """processor_json (Go flavor) with the reference's exact key
+    building (processor_json.go:29-42,134-201): final key =
+    Prefix + [SourceKey] + getConnector(1) + k1 [+ connector + k2].
+    ExpandArray stays false-equivalent (arrays kept as raw JSON, the
+    Go default). Parse failure follows the shared contract.
+    """
+    opts = options or ParserOptions()
+    base = prefix + (source if use_source_key_as_prefix else "")
+    first = "" if ignore_first_connector else connector
+    parsed = _flatten_json_map(F.col(source), depth, connector, base, first)
+    ok = F.from_json(F.col(source), "map<string,string>").isNotNull()
+    out = df.withColumn(attrs_col, parsed)
+    return _apply_failure_contract(out, source, ok, opts)
 
 
 # ---------------------------------------------------------------------------
@@ -791,6 +838,37 @@ def _regex_factory(**cfg):
 @register("processor_parse_json_native")
 @register("processor_json")
 def _json_factory(**cfg):
+    # Go-flavor expansion params (processor_json.go:29-40) switch to
+    # the exact key-building path; without them the plain native parse
+    # (attrs map, no connector games) applies.
+    go_flavor = any(
+        k in cfg
+        for k in (
+            "ExpandDepth",
+            "ExpandConnector",
+            "Prefix",
+            "UseSourceKeyAsPrefix",
+            "IgnoreFirstConnector",
+        )
+    )
+    if go_flavor:
+        depth = int(cfg_pop(cfg, "ExpandDepth", default=0))
+        connector = cfg_pop(cfg, "ExpandConnector", default="_")
+        prefix = cfg_pop(cfg, "Prefix", default="")
+        use_src = bool(cfg_pop(cfg, "UseSourceKeyAsPrefix", default=False))
+        ignore_first = bool(cfg_pop(cfg, "IgnoreFirstConnector", default=False))
+        opts = _opts_from_config(cfg)
+        source = cfg_pop(cfg, "SourceKey", "source", default="text")
+        return lambda df: parse_json_expanded(
+            df,
+            source=source,
+            depth=depth,
+            connector=connector,
+            prefix=prefix,
+            use_source_key_as_prefix=use_src,
+            ignore_first_connector=ignore_first,
+            options=opts,
+        )
     opts = _opts_from_config(cfg)
     source = cfg_pop(cfg, "SourceKey", "source", default="text")
     expand = cfg.pop("expand", None)

@@ -325,6 +325,68 @@ def split_regex(
     )
 
 
+def split_log_regex(
+    df: DataFrame,
+    source: str,
+    split_regex: str,
+    preserve_others: bool = True,
+    dest: str | None = None,
+) -> DataFrame:
+    """processor_split_log_regex, EXACT Go semantics
+    (split_log_regex.go:52-100): the source value is a block of
+    ``\\n``-joined lines (the file reader hands over whole read
+    blocks); a new log opens before every line that FULLY matches
+    ``split_regex`` (fullMatch, :52-55), and every other line —
+    including an unmatched head run, or everything when nothing
+    matches — concatenates onto the current log. ``preserve_others``
+    keeps the row's other columns on every output (the Go plugin
+    clones the raw log's other contents).
+
+    Narrow closed form — per-row array ops, zero shuffle: boundary
+    positions = indices of fully-matching lines (plus 0), outputs =
+    slices between consecutive boundaries. One corner documented:
+    fullMatch asks whether Go's leftmost-first match spans the whole
+    line; we anchor (``^(?:p)$``), which lets Java backtracking find a
+    full-span match Go's first match would miss (e.g. ``a|ab`` on
+    "ab") — shipped patterns end in ``.*`` where both agree.
+    """
+    anchored = f"^(?:{split_regex})$"
+    src = F.col(source)
+    lines = F.split(src, "\n", -1)
+    n = F.size(lines)
+    # 0-based boundary positions: line 0 always opens a chunk; every
+    # fully-matching line at i>0 opens a new one
+    bounds = F.filter(
+        F.transform(
+            lines,
+            lambda l, i: F.when(
+                (i == 0) | F.coalesce(l.rlike(anchored), F.lit(False)), i
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda x: x >= 0,
+    )
+    chunks = F.transform(
+        bounds,
+        lambda b, j: F.array_join(
+            F.slice(
+                lines,
+                b + 1,
+                # try_element_at: the last chunk has no next boundary
+                # (plain element_at throws under ANSI)
+                F.coalesce(F.try_element_at(bounds, j + 2), n) - b,
+            ),
+            "\n",
+        ),
+    )
+    out = df.withColumn(dest or source, F.explode(chunks))
+    if not preserve_others:
+        keep = {source, dest or source}
+        out = out.select(*[c for c in out.columns if c in keep])
+    if dest and dest != source:
+        out = out.drop(source)
+    return out
+
+
 @register("processor_split_string_native")
 @register("processor_split_log_string")
 @register("processor_split_string")
@@ -353,10 +415,21 @@ def _split_char_factory(**cfg):
 
 
 @register("processor_split_log_regex")
+def _split_log_regex_factory(**cfg):
+    # split_log_regex.go:28-30: SplitKey / SplitRegex / PreserveOthers
+    source = cfg_pop(cfg, "SplitKey", "SourceKey", "source", default="content")
+    pattern = cfg_pop(cfg, "SplitRegex", "split_regex")
+    preserve = bool(cfg_pop(cfg, "PreserveOthers", "preserve_others", default=False))
+    dest = cfg_pop(cfg, "dest", default=None)
+    return lambda df: split_log_regex(
+        df, source, pattern, preserve_others=preserve, dest=dest
+    )
+
+
 @register("processor_split_multiline_log_string_native")
 @register("processor_merge_multiline_log_native")
 def _split_multiline_factory(**cfg):
-    source = cfg_pop(cfg, "SourceKey", "source", default="text")
+    source = cfg_pop(cfg, "SourceKey", "SplitKey", "source", default="text")
     start = cfg_pop(cfg, "StartPattern", "SplitRegex", "start_pattern", default=None)
     cont = cfg_pop(cfg, "ContinuePattern", "continue_pattern", default=None)
     end = cfg_pop(cfg, "EndPattern", "end_pattern", default=None)

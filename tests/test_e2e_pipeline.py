@@ -178,3 +178,114 @@ def test_yaml_config_disabled_is_identity(spark):
     transform, _ = pipeline_from_yaml("enable: false\nprocessors:\n  - Type: nope\n")
     df = spark.createDataFrame([(1,)], "x int")
     assert transform(df) is df
+
+
+REF_EXAMPLES = "/root/reference/example_config/data_pipelines"
+
+
+def _run_example(spark, name, line):
+    """Load a SHIPPED reference config verbatim and run its documented
+    sample line through the registry-composed chain."""
+    import os
+
+    from ilogtail_spark.plans.pipeline import pipeline_from_yaml
+
+    transform, _ = pipeline_from_yaml(os.path.join(REF_EXAMPLES, name))
+    df = spark.createDataFrame(
+        [("c1", i, part) for i, part in enumerate(line if isinstance(line, list) else [line])],
+        "conv_id string, turn_idx int, content string",
+    )
+    return transform(df).orderBy("turn_idx").collect()
+
+
+def test_example_file_delimiter(spark):
+    # documented pair, file-delimiter.yaml:16-17
+    rows = _run_example(spark, "file-delimiter.yaml", "123\t2022-08-08\tbuy\t10000")
+    r = rows[0]
+    assert (r["uid"], r["time"], r["method"], r["value"]) == (
+        "123", "2022-08-08", "buy", "10000")
+
+
+def test_example_file_json(spark):
+    # documented pair, file-json.yaml:16-17: {"key1":"value1","key2":2}
+    # -> {"key1":"value1","key2":"2"} (ExpandConnector "" neutralizes
+    # the Go level-1 connector prefix; KeepSource false)
+    rows = _run_example(spark, "file-json.yaml", '{"key1":"value1","key2":2}')
+    attrs = dict(rows[0]["attrs"])
+    assert attrs == {"key1": "value1", "key2": "2"}
+
+
+def test_example_file_grok(spark):
+    # documented pair, file-grok.yaml:16-17
+    rows = _run_example(
+        spark, "file-grok.yaml", "10.0.0.0 GET /index.html 15824 0.043")
+    r = rows[0]
+    assert (r["client"], r["method"], r["request"], r["bytes"], r["duration"]) == (
+        "10.0.0.0", "GET", "/index.html", "15824", "0.043")
+
+
+def test_example_multiline_java_stack(spark):
+    # documented pair, multiline_java_stack_trace-split_log_regex.yaml:16-22
+    # — the file reader hands one read BLOCK (\n-joined lines) to
+    # split_log_regex, which splits before fully-matching lines
+    lines = [
+        "2022-08-09 14:47:17  [ main:1 ] - [ ERROR ] com.aliyun.NullPointerTest.main(NullPointerTest.java:13) Param Error",
+        "java.lang.NullPointerException",
+        "\tat com.aliyun.NullPointerTest.main(NullPointerTest.java:11)",
+    ]
+    rows = _run_example(
+        spark, "multiline_java_stack_trace-split_log_regex.yaml",
+        "\n".join(lines))
+    assert len(rows) == 1
+    assert rows[0]["content"] == "\n".join(lines)
+
+
+def test_split_log_regex_exact_go(spark):
+    """split_log_regex.go:52-100 closed form: split before FULLY
+    matching lines; unmatched head run merges; nothing matching →
+    one log; PreserveOthers=false keeps only the split column."""
+    from ilogtail_spark.operators.split import split_log_regex
+
+    block = "head1\nhead2\nSTART a\ncont a\nSTART b"
+    df = spark.createDataFrame([("x", block)], "other string, content string")
+    out = split_log_regex(df, "content", r"START.*", preserve_others=True)
+    got = [r["content"] for r in out.collect()]
+    assert got == ["head1\nhead2", "START a\ncont a", "START b"]
+    assert all(r["other"] == "x" for r in out.collect())
+    # partial-only match is NOT a boundary (fullMatch, go:52-55)
+    out2 = split_log_regex(df, "content", r"START", preserve_others=False)
+    assert [r["content"] for r in out2.collect()] == [block]
+    assert out2.columns == ["content"]
+
+
+def test_json_go_key_building(spark):
+    """processor_json.go:134-201 key quirks: default connector '_' IS
+    prepended to level-1 keys; IgnoreFirstConnector suppresses it;
+    UseSourceKeyAsPrefix + Prefix compose; nested level-2 joins with
+    the connector; depth 1 keeps nested objects raw."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    df = spark.createDataFrame(
+        [('{"a":"1","n":{"b":"2"}}',)], "content string")
+
+    def attrs(**params):
+        t = build_pipeline([{"type": "processor_json",
+                             "SourceKey": "content", **params}])
+        return dict(t(df).collect()[0]["attrs"])
+
+    # Go defaults: ExpandDepth 0 (unlimited), connector '_' before the
+    # first-level key too
+    assert attrs(ExpandDepth=0) == {"_a": "1", "_n_b": "2"}
+    assert attrs(ExpandDepth=0, IgnoreFirstConnector=True) == {
+        "a": "1", "n_b": "2"}
+    assert attrs(ExpandDepth=1, ExpandConnector="") == {
+        "a": "1", "n": '{"b":"2"}'}
+    assert attrs(ExpandDepth=0, ExpandConnector="",
+                 UseSourceKeyAsPrefix=True, Prefix="p.") == {
+        "p.contenta": "1", "p.contentnb": "2"}
+    # duplicate flattened keys fold last-wins, never throw
+    df2 = spark.createDataFrame([('{"a_b":"x","a":{"b":"y"}}',)],
+                                "content string")
+    t = build_pipeline([{"type": "processor_json", "SourceKey": "content",
+                         "ExpandDepth": 0, "IgnoreFirstConnector": True}])
+    assert dict(t(df2).collect()[0]["attrs"]) == {"a_b": "y"}
