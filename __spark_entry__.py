@@ -2675,7 +2675,7 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 'Unknown' END AS tool_class,
                   status, err, md5(conv_id) AS conv_md5
            FROM parsed
-           WHERE parse_ok AND regexp_matches(err, '^(?:E[0-9]+)$')""",
+           WHERE parse_ok AND regexp_matches(err, 'E[0-9]+')""",
         "q68_decontaminate": _SHINGLES_CTE
         + """
            , bench AS (
@@ -2833,5 +2833,5 @@ def oracle_sql() -> dict[str, str]:
                   method, url, err, 'prod' AS env
            FROM parsed
            WHERE parse_ok
-             AND regexp_matches(CAST(status AS VARCHAR), '^(?:[45][0-9][0-9])$')""",
+             AND regexp_matches(CAST(status AS VARCHAR), '[45][0-9][0-9]')""",
     }

@@ -70,3 +70,72 @@ def spread(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def fmt_tokens_to_jdk(fmt: str, token_map: dict[str, str], dialect: str) -> str:
+    """Translate a %-token datetime format (C strptime, MySQL
+    date_parse, ...) to a JDK DateTimeFormatter pattern. Literal
+    letter RUNS are quoted as one 'run' (per-letter quoting would
+    emit 'a''b', which JDK reads as an escaped quote); a bare quote
+    outside a quoted section escapes itself. Unknown tokens raise —
+    silently passing one through would parse wrong data."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def _flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        ch = fmt[i]
+        if ch == "%" and i + 1 < len(fmt):
+            tok = fmt[i + 1]
+            if tok not in token_map:
+                raise ValueError(f"{dialect}: unsupported format token %{tok}")
+            _flush()
+            out.append(token_map[tok])
+            i += 2
+        elif ch.isalpha():
+            lit.append(ch)
+            i += 1
+        else:
+            _flush()
+            out.append("''" if ch == "'" else ch)
+            i += 1
+    _flush()
+    return "".join(out)
+
+
+# C strptime tokens (strptime.go:41-49 "Format follows rules of C
+# strptime") -> JDK. %M is MINUTES here (MySQL's %M is month name —
+# different dialect, different map).
+C_STRPTIME_TOKENS = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "I": "hh", "l": "h", "M": "mm", "S": "ss",
+    "p": "a", "b": "MMM", "h": "MMM", "B": "MMMM", "a": "EEE",
+    "A": "EEEE", "j": "DDD", "z": "xx", "Z": "zzz",
+    "T": "HH:mm:ss", "F": "yyyy-MM-dd", "R": "HH:mm", "D": "MM/dd/yy",
+    "n": "\n", "t": "\t", "%": "%",
+}
+
+
+def strptime_to_jdk(fmt: str) -> str:
+    """C strptime format -> JDK pattern (the reference strptime
+    plugin's Format dialect)."""
+    return fmt_tokens_to_jdk(fmt, C_STRPTIME_TOKENS, "strptime")
+
+
+def resolve_key(df: DataFrame, key: str, attrs_col: str = "attrs") -> Column:
+    """Resolve a reference SourceKey against the columnar event model:
+    a real column wins; otherwise fall back to the dynamic-KV overflow
+    map (the reference's flat KV bag maps to columns + ``attrs``), so
+    chained processors can consume keys an earlier parse stage landed
+    in the map (e.g. user_contrib/nginx-json-access-log.md's second
+    processor_json reading the first one's ``data`` output)."""
+    if key in df.columns:
+        return F.col(key)
+    if attrs_col in df.columns:
+        return F.try_element_at(F.col(attrs_col), F.lit(key))
+    return F.col(key)  # let Spark raise the unresolved-column error

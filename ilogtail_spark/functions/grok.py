@@ -53,6 +53,16 @@ DEFAULT_PATTERNS: dict[str, str] = {
         r"[T ](?:2[0123]|[01]?\d):?(?:[0-5]\d)(?::?(?:[0-5]\d)(?:\.\d+)?)?"
         r"(?:Z|[+-](?:2[0123]|[01]?\d)(?::?(?:[0-5]\d)))?"
     ),
+    "DAY": (
+        r"(?:Mon(?:day)?|Tue(?:sday)?|Wed(?:nesday)?|Thu(?:rsday)?|"
+        r"Fri(?:day)?|Sat(?:urday)?|Sun(?:day)?)"
+    ),
+    "MONTH": (
+        r"\b(?:[Jj]an(?:uary)?|[Ff]eb(?:ruary)?|[Mm]ar(?:ch)?|[Aa]pr(?:il)?|"
+        r"[Mm]ay|[Jj]un(?:e)?|[Jj]ul(?:y)?|[Aa]ug(?:ust)?|[Ss]ep(?:tember)?|"
+        r"[Oo]ct(?:ober)?|[Nn]ov(?:ember)?|[Dd]ec(?:ember)?)\b"
+    ),
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
     "LOGLEVEL": (
         r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|"
         r"[Ii]nfo|INFO|[Ww]arn(?:ing)?|WARN(?:ING)?|[Ee]rr(?:or)?|ERR(?:OR)?|"
@@ -80,8 +90,9 @@ def compile_grok(
     if custom_patterns:
         library.update(custom_patterns)
 
-    fields: list[str] = []
+    alias_by_marker: dict[int, str] = {}
     types: dict[str, str] = {}
+    counter = iter(range(1_000_000))
 
     def expand(pat: str, depth: int) -> str:
         if depth > MAX_EXPANSION_DEPTH:
@@ -93,16 +104,65 @@ def compile_grok(
                 raise GrokError(f"unknown grok pattern %{{{name}}}")
             body = expand(library[name], depth + 1)
             if alias:
-                fields.append(alias)
+                n = next(counter)
+                alias_by_marker[n] = alias
                 if cast:
                     types[alias] = "double" if cast == "float" else cast
-                return f"({body})"
+                return f"(?<gk{n}gk>{body})"
             return f"(?:{body})"
 
         return _REF.sub(sub, pat)
 
-    regex = expand(pattern, 0)
-    return regex, fields, types
+    expanded = expand(pattern, 0)
+
+    # Final left-to-right pass: fields are ALL named groups in group
+    # order — grok aliases (markers) AND inline (?<name>...) groups
+    # the user wrote (the Go grok lib compiles aliases to named
+    # groups and the plugin emits named submatches only). Bare (...)
+    # groups become non-capturing so emitted fields are exactly the
+    # capture groups, positionally — what parse_regex consumes.
+    fields: list[str] = []
+    out: list[str] = []
+    in_class = False
+    i = 0
+    while i < len(expanded):
+        ch = expanded[i]
+        if ch == "\\" and i + 1 < len(expanded):
+            out.append(expanded[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            m = re.match(r"\(\?<([A-Za-z][A-Za-z0-9_]*)>", expanded[i:])
+            if m:
+                name = m.group(1)
+                mk = re.fullmatch(r"gk(\d+)gk", name)
+                fields.append(alias_by_marker[int(mk.group(1))] if mk else name)
+                out.append("(")
+                i += m.end()
+                continue
+            if expanded[i : i + 2] == "(?":
+                # lookaround / non-capture / flags — leave untouched
+                out.append(ch)
+                i += 1
+                continue
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+
+    return "".join(out), fields, types
 
 
 def grok_parse(

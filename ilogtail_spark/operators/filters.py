@@ -21,19 +21,25 @@ def filter_regex(
     include: dict[str, str] | None = None,
     exclude: dict[str, str] | None = None,
 ) -> DataFrame:
-    """processor_filter_regex (Go, processor_filter_regex.go:33-41,131):
-    Include — every (key, regex) must FULL-match; Exclude — any match
-    drops the row. Missing key fails an Include and passes an Exclude.
+    """processor_filter_regex (Go, processor_filter_regex.go:77-111):
+    Include — every (key, regex) must match; Exclude — any match
+    drops the row. Matching is PARTIAL (Go ``MatchString``, not
+    anchored). Missing key fails an Include and passes an Exclude;
+    a key can resolve from the ``attrs`` KV bag like any SourceKey.
     """
+    from ilogtail_spark.common import resolve_key
+
     cond = F.lit(True)
     for k, pat in (include or {}).items():
-        if k in df.columns:
-            cond = cond & F.col(k).isNotNull() & F.col(k).rlike(f"^(?:{pat})$")
+        if k in df.columns or "attrs" in df.columns:
+            v = resolve_key(df, k)
+            cond = cond & v.isNotNull() & v.rlike(pat)
         else:
             cond = F.lit(False)
     for k, pat in (exclude or {}).items():
-        if k in df.columns:
-            cond = cond & ~(F.col(k).isNotNull() & F.col(k).rlike(pat))
+        if k in df.columns or "attrs" in df.columns:
+            v = resolve_key(df, k)
+            cond = cond & ~(v.isNotNull() & v.rlike(pat))
     return df.filter(cond)
 
 
@@ -70,22 +76,32 @@ def filter_key_regex(
     exclude_keys: list[str] | None = None,
     attrs_col: str | None = None,
 ) -> DataFrame:
-    """processor_filter_key_regex (processor_filter_key_regex.go:28-36,117):
-    keep rows that HAVE all include keys / none of the exclude keys.
-    Structured columns are always present, so presence = non-null;
-    for the dynamic map column it's map_contains_key.
+    """processor_filter_key_regex (processor_filter_key_regex.go:73-103):
+    Include/Exclude entries are REGEXES over key NAMES (partial Go
+    MatchString): every Include regex must match some present key;
+    any present key matching an Exclude regex drops the row.
+    Structured column names are static, so they match at PLAN time
+    (presence = non-null); the dynamic map column checks its keys
+    with F.exists — no per-row schema work.
     """
+    import re as _re
+
+    def present_any(pat: str) -> Column:
+        cond = F.lit(False)
+        for c in df.columns:
+            if c != attrs_col and _re.search(pat, c):
+                cond = cond | F.col(c).isNotNull()
+        if attrs_col and attrs_col in df.columns:
+            cond = cond | F.exists(
+                F.map_keys(F.col(attrs_col)), lambda k: k.rlike(pat)
+            )
+        return cond
+
     cond = F.lit(True)
-    for k in include_keys or []:
-        if attrs_col:
-            cond = cond & F.map_contains_key(F.col(attrs_col), k)
-        else:
-            cond = cond & (F.col(k).isNotNull() if k in df.columns else F.lit(False))
-    for k in exclude_keys or []:
-        if attrs_col:
-            cond = cond & ~F.map_contains_key(F.col(attrs_col), k)
-        elif k in df.columns:
-            cond = cond & F.col(k).isNull()
+    for pat in include_keys or []:
+        cond = cond & present_any(pat)
+    for pat in exclude_keys or []:
+        cond = cond & ~present_any(pat)
     return df.filter(cond)
 
 
@@ -287,8 +303,12 @@ def rate_limit(
 
 @register("processor_filter_regex")
 def _filter_regex_factory(**cfg):
+    from ilogtail_spark.operators.parse import _go_regex_to_java
+
     inc = cfg_pop(cfg, "Include", "include", default=None)
     exc = cfg_pop(cfg, "Exclude", "exclude", default=None)
+    inc = {k: _go_regex_to_java(v) for k, v in inc.items()} if inc else inc
+    exc = {k: _go_regex_to_java(v) for k, v in exc.items()} if exc else exc
     return lambda df: filter_regex(df, include=inc, exclude=exc)
 
 

@@ -102,19 +102,69 @@ def parse_regex(
     opts = options or ParserOptions()
     types = types or {}
     pat = f"^{pattern}$" if full_match else pattern
-    ok = F.col(source).isNotNull() & F.col(source).rlike(pat)
+    # Go treats fewer capture groups than Keys as parse FAILURE for
+    # every row (regex.go:115-120), not a config error — count groups
+    # at plan time (Python re over the common dialect; Java-only
+    # syntax skips the check and lets Spark validate indices)
+    try:
+        import re as _re
+
+        ngroups = _re.compile(pattern).groups
+    except _re.error:
+        ngroups = None
+    if ngroups is not None and ngroups < len(fields):
+        ok = F.lit(False)
+    else:
+        ok = F.col(source).isNotNull() & F.col(source).rlike(pat)
     # struct-materialized like parse_dissect: keeps the rlike from
     # being re-inlined into every extracted column downstream
     struct_fields = [ok.alias("__ok")]
+    always_fail = ngroups is not None and ngroups < len(fields)
     for i, name in enumerate(fields):
-        col = F.when(ok, F.regexp_extract(F.col(source), pat, i + 1))
+        if always_fail:
+            # regexp_extract validates the group index at analysis —
+            # emit NULLs outright for the Go fewer-groups failure mode
+            col = F.lit(None).cast("string")
+        else:
+            col = F.when(ok, F.regexp_extract(F.col(source), pat, i + 1))
+        struct_fields.append(col.alias(f"g{i}"))
+    # overwriting the source column (a Key named like SourceKey) must
+    # not corrupt the failure contract's raw-source read
+    stash = source in fields
+    out = df.withColumn("_rx", F.struct(*struct_fields))
+    if stash:
+        out = out.withColumn("_rx_src", F.col(source))
+    seen = []
+    for name in fields:
+        if name in seen:
+            continue
+        seen.append(name)
+        idxs = [i for i, n in enumerate(fields) if n == name]
+        if len(idxs) == 1:
+            col = F.col(f"_rx.g{idxs[0]}")
+        else:
+            # duplicate Keys (alternation branches, e.g. user_contrib/
+            # vivado-synth-log.md): Go appends only PARTICIPATING
+            # groups (regex.go:121-127) — Java regexp_extract returns
+            # "" for a non-participating group, so the last non-empty
+            # branch wins, falling back to "" on a match
+            col = F.coalesce(
+                *[F.nullif(F.col(f"_rx.g{i}"), F.lit("")) for i in reversed(idxs)]
+            )
+            col = F.when(F.col("_rx.__ok"), F.coalesce(col, F.lit(""))).otherwise(col)
         if name in types:
             col = col.cast(types[name])
-        struct_fields.append(col.alias(name))
-    out = df.withColumn("_rx", F.struct(*struct_fields))
-    for name in fields:
-        out = out.withColumn(name, F.col(f"_rx.{name}"))
-    out = _apply_failure_contract(out, source, F.col("_rx.__ok"), opts)
+        if name in df.columns and name != source:
+            # chained parse stages: a FAILED parse appends nothing in
+            # the reference's flat KV bag (regex.go:106-128) — an
+            # earlier stage's extraction must survive, not be NULLed
+            col = F.when(F.col("_rx.__ok"), col).otherwise(F.col(name))
+        out = out.withColumn(name, col)
+    out = _apply_failure_contract(
+        out, "_rx_src" if stash else source, F.col("_rx.__ok"), opts
+    )
+    if stash:
+        out = out.drop("_rx_src")
     return out.drop("_rx")
 
 
@@ -409,11 +459,17 @@ def _flatten_json_map(
     cur = F.from_json(source_col, inner)
     lead = F.lit(base + first_connector)
 
+    # a JSON null VALUE arrives as the string "null" (jsonparser hands
+    # the Go callback raw value bytes; flattenValue appends them
+    # verbatim, processor_json.go:193-201) — from_json gives SQL NULL
+    def val(kv: Column) -> Column:
+        return F.coalesce(kv["value"], F.lit("null"))
+
     def lvl1(kv: Column) -> Column:
         return F.array(
             F.struct(
                 F.concat(lead, kv["key"]).alias("key"),
-                kv["value"].alias("value"),
+                val(kv).alias("value"),
             )
         )
 
@@ -435,7 +491,7 @@ def _flatten_json_map(
                                 F.lit(connector),
                                 kv2["key"],
                             ).alias("key"),
-                            kv2["value"].alias("value"),
+                            val(kv2).alias("value"),
                         ),
                     ),
                 ).otherwise(lvl1(kv)),
@@ -482,10 +538,48 @@ def parse_json_expanded(
     Go default). Parse failure follows the shared contract.
     """
     opts = options or ParserOptions()
+    from ilogtail_spark.common import resolve_key
+
     base = prefix + (source if use_source_key_as_prefix else "")
     first = "" if ignore_first_connector else connector
-    parsed = _flatten_json_map(F.col(source), depth, connector, base, first)
-    ok = F.from_json(F.col(source), "map<string,string>").isNotNull()
+    src = resolve_key(df, source, attrs_col)
+    parsed = _flatten_json_map(src, depth, connector, base, first)
+    ok = F.from_json(src, "map<string,string>").isNotNull()
+    if attrs_col in df.columns:
+        # chained stage: merge the new flattened keys into the
+        # existing KV bag last-wins (the reference appends to the
+        # flat contents list); the consumed source entry drops per
+        # shouldKeepSource (processor_json.go:100-102)
+        from ilogtail_spark.common import map_last_wins
+
+        old = F.col(attrs_col)
+        if source in df.columns:
+            # source is a real column — the contract helper handles
+            # its keep/drop; never touch a same-named attrs entry
+            kept = old
+        else:
+            drop_src = F.when(
+                ok, F.lit(not opts.keep_source)
+            ).otherwise(
+                F.lit(not (opts.keep_source or opts.keep_source_if_fail))
+            )
+            kept = F.when(
+                drop_src & src.isNotNull(),
+                F.map_filter(old, lambda k, _v: k != F.lit(source)),
+            ).otherwise(old)
+        merged = F.when(
+            ok,
+            map_last_wins(
+                F.concat(F.map_entries(kept), F.map_entries(parsed))
+            ),
+        ).otherwise(kept)
+        out = df.withColumn(attrs_col, merged)
+        if source in df.columns:
+            return _apply_failure_contract(out, source, ok, opts)
+        out = out.withColumn(PARSE_OK_KEY, ok)
+        if opts.discard_unmatch:
+            out = out.filter(F.col(PARSE_OK_KEY))
+        return out
     out = df.withColumn(attrs_col, parsed)
     return _apply_failure_contract(out, source, ok, opts)
 
@@ -763,8 +857,14 @@ def parse_timestamp(
     SPL failure semantics: unparseable time -> now()
     (ProcessorSPL.cpp:126-134) when fallback_now; else NULL (row keeps
     its previous event time via coalesce at the call site).
+
+    ``source`` may be a Column (the factory resolves SourceKey
+    against columns-or-attrs via common.resolve_key).
     """
-    parsed = F.to_timestamp(F.col(source), fmt)
+    src = source if isinstance(source, Column) else F.col(source)
+    # try_: malformed input is data-controlled (ANSI to_timestamp
+    # throws); failure -> NULL is the reference's keep-row behavior
+    parsed = F.try_to_timestamp(src, F.lit(fmt))
     if source_tz:
         parsed = F.to_utc_timestamp(parsed, source_tz)
     if fallback_now:
@@ -822,7 +922,6 @@ def _opts_from_config(cfg: dict) -> ParserOptions:
 
 
 @register("processor_parse_regex_native")
-@register("processor_regex")
 def _regex_factory(**cfg):
     opts = _opts_from_config(cfg)
     pattern = cfg_pop(cfg, "Regex", "pattern")
@@ -833,6 +932,133 @@ def _regex_factory(**cfg):
     return lambda df: parse_regex(
         df, pattern, fields, source=source, types=types, options=opts, full_match=full
     )
+
+
+def _go_regex_to_java(pat: str) -> str:
+    """RE2 → java.util.regex dialect bridge for the corners real user
+    configs hit: a bare ``[`` inside a character class is literal in
+    RE2 (``[^[]``, user_contrib/windows-vscode-sign.md) but opens a
+    nested class union in Java — escape it."""
+    out: list[str] = []
+    in_class = False
+    just_opened = False  # directly after '[' or '[^'
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "\\" and i + 1 < len(pat):
+            out.append(pat[i : i + 2])
+            i += 2
+            just_opened = False
+            continue
+        if not in_class:
+            if ch == "[":
+                in_class = True
+                just_opened = True
+                out.append(ch)
+                i += 1
+                if i < len(pat) and pat[i] == "^":
+                    out.append("^")
+                    i += 1
+                continue
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            out.append("\\[")
+        elif ch == "]":
+            if just_opened:
+                # ']' directly after '[' / '[^' is literal in RE2
+                out.append("\\]")
+                just_opened = False
+                i += 1
+                continue
+            in_class = False
+            out.append(ch)
+        else:
+            out.append(ch)
+        just_opened = False
+        i += 1
+    return "".join(out)
+
+
+@register("processor_regex")
+def _regex_go_factory(**cfg):
+    # the Go plugin compiles "(?s)" + Regex (regex.go:56-57): `.`
+    # matches newlines — file blocks that split_log_regex hands over
+    # span lines; the native C++ path has no such prefix. A missing
+    # Regex compiles to "" in Go (zero groups → every row takes the
+    # parse-failure path), so it is not a config error here either.
+    cfg["Regex"] = "(?s)" + _go_regex_to_java(
+        str(cfg_pop(cfg, "Regex", "pattern", default=""))
+    )
+    return _regex_factory(**cfg)
+
+
+@register("processor_regex_accelerate")
+def _regex_accel_factory(**cfg):
+    """The C++ accelerated file-parse path (user configs write
+    LogBeginRegex + Regex + Keys, e.g. example_config/user_contrib/
+    mysql-slow-log.md): LogBeginRegex splits the read block into logs
+    — same boundary rule as split_log_regex — then the block-spanning
+    Regex extracts Keys over the WHOLE log (regex_match semantics;
+    (?m) so the pattern's $ anchors at the embedded line ends)."""
+    opts = _opts_from_config(cfg)
+    begin = cfg_pop(cfg, "LogBeginRegex", default=None)
+    pattern = cfg_pop(cfg, "Regex", "pattern")
+    fields = cfg_pop(cfg, "Keys", "fields")
+    source = cfg_pop(cfg, "SourceKey", "source", default="content")
+    types = cfg.pop("types", None)
+    raw_tag = cfg_pop(cfg, "RawLogTag", default=None)
+    precise = bool(cfg_pop(cfg, "EnablePreciseTimestamp", default=False))
+    time_fmt = cfg_pop(cfg, "TimeFormat", default=None)
+    log_tz = cfg_pop(cfg, "LogTimezone", default=None)
+    time_key = cfg_pop(cfg, "TimeKey", default="time")
+
+    def run(df):
+        from ilogtail_spark.operators.split import split_log_regex
+
+        if begin:
+            df = split_log_regex(df, source, begin, preserve_others=True)
+        if raw_tag:
+            # the raw (multi-line) log body lands under RawLogTag
+            df = df.withColumn(raw_tag, F.col(source))
+        out = parse_regex(
+            df,
+            "(?m)" + pattern,
+            fields,
+            source=source,
+            types=types,
+            options=opts,
+            full_match=True,
+        )
+        if precise and time_fmt and time_key in fields:
+            # precise_timestamp = epoch millis of the parsed time
+            # (TimeFormat is C strptime, LogTimezone shifts to UTC)
+            # + the time string's own .fraction digits as millis
+            from ilogtail_spark.common import strptime_to_jdk
+
+            base = F.try_to_timestamp(
+                F.regexp_replace(F.col(time_key), r"\.\d+$", ""),
+                F.lit(strptime_to_jdk(time_fmt)),
+            )
+            if log_tz:
+                base = F.to_utc_timestamp(base, log_tz)
+            frac = F.rpad(
+                F.coalesce(
+                    F.regexp_extract(F.col(time_key), r"\.(\d+)$", 1),
+                    F.lit(""),
+                ),
+                3,
+                "0",
+            ).try_cast("long")
+            out = out.withColumn(
+                "precise_timestamp",
+                (F.unix_timestamp(base) * 1000 + F.coalesce(frac, F.lit(0)))
+                .cast("string"),
+            )
+        return out
+
+    return run
 
 
 @register("processor_parse_json_native")
@@ -916,9 +1142,37 @@ def _kv_factory(**cfg):
 @register("processor_strptime")
 def _ts_factory(**cfg):
     source = cfg_pop(cfg, "SourceKey", "source")
-    fmt = cfg_pop(cfg, "SourceFormat", "fmt")
+    # the Go plugin's param is Format, in the C strptime dialect
+    # (strptime.go:41-61); SourceFormat/fmt take a JDK pattern as-is
+    fmt = cfg_pop(cfg, "Format", "SourceFormat", "fmt")
+    epoch = fmt.strip() == "%s"  # JDK has no epoch-seconds token
+    if not epoch and "%" in fmt:
+        from ilogtail_spark.common import strptime_to_jdk
+
+        fmt = strptime_to_jdk(fmt)
     tz = cfg_pop(cfg, "SourceTimezone", "source_tz", default=None)
-    return lambda df: parse_timestamp(df, source, fmt, source_tz=tz)
+    dest = cfg_pop(cfg, "dest", default="ts")
+    keep = bool(cfg_pop(cfg, "KeepSource", "keep_source", default=True))
+
+    def run(df):
+        from ilogtail_spark.common import resolve_key
+
+        src = resolve_key(df, source)
+        if epoch:
+            out = df.withColumn(dest, F.timestamp_seconds(src.try_cast("long")))
+        else:
+            out = parse_timestamp(df, src, fmt, dest=dest, source_tz=tz)
+        if not keep:  # strptime.go KeepSource=false removes the field
+            if source in df.columns:
+                out = out.drop(source)
+            elif "attrs" in df.columns:
+                out = out.withColumn(
+                    "attrs",
+                    F.map_filter(F.col("attrs"), lambda k, _v: k != F.lit(source)),
+                )
+        return out
+
+    return run
 
 
 @register("processor_parse_apsara_native")

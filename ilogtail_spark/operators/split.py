@@ -351,20 +351,28 @@ def split_log_regex(
     "ab") — shipped patterns end in ``.*`` where both agree.
     """
     anchored = f"^(?:{split_regex})$"
-    src = F.col(source)
-    lines = F.split(src, "\n", -1)
-    n = F.size(lines)
+    # MATERIALIZE lines and bounds in their own projections: chunks
+    # references bounds per element — inlined, the whole regex scan
+    # would re-run O(lines²) times (the expression-blowup trap; this
+    # exact shape measured 100x slower inlined)
+    lines_c, bounds_c = "_slr_lines", "_slr_bounds"
+    out = df.withColumn(lines_c, F.split(F.col(source), "\n", -1))
+    lines = F.col(lines_c)
     # 0-based boundary positions: line 0 always opens a chunk; every
     # fully-matching line at i>0 opens a new one
-    bounds = F.filter(
-        F.transform(
-            lines,
-            lambda l, i: F.when(
-                (i == 0) | F.coalesce(l.rlike(anchored), F.lit(False)), i
-            ).otherwise(F.lit(-1)),
+    out = out.withColumn(
+        bounds_c,
+        F.filter(
+            F.transform(
+                lines,
+                lambda l, i: F.when(
+                    (i == 0) | F.coalesce(l.rlike(anchored), F.lit(False)), i
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
         ),
-        lambda x: x >= 0,
     )
+    bounds = F.col(bounds_c)
     chunks = F.transform(
         bounds,
         lambda b, j: F.array_join(
@@ -373,12 +381,13 @@ def split_log_regex(
                 b + 1,
                 # try_element_at: the last chunk has no next boundary
                 # (plain element_at throws under ANSI)
-                F.coalesce(F.try_element_at(bounds, j + 2), n) - b,
+                F.coalesce(F.try_element_at(bounds, j + 2), F.size(lines)) - b,
             ),
             "\n",
         ),
     )
-    out = df.withColumn(dest or source, F.explode(chunks))
+    out = out.withColumn(dest or source, F.explode(chunks))
+    out = out.drop(lines_c, bounds_c)
     if not preserve_others:
         keep = {source, dest or source}
         out = out.select(*[c for c in out.columns if c in keep])
@@ -417,8 +426,10 @@ def _split_char_factory(**cfg):
 @register("processor_split_log_regex")
 def _split_log_regex_factory(**cfg):
     # split_log_regex.go:28-30: SplitKey / SplitRegex / PreserveOthers
+    from ilogtail_spark.operators.parse import _go_regex_to_java
+
     source = cfg_pop(cfg, "SplitKey", "SourceKey", "source", default="content")
-    pattern = cfg_pop(cfg, "SplitRegex", "split_regex")
+    pattern = _go_regex_to_java(cfg_pop(cfg, "SplitRegex", "split_regex"))
     preserve = bool(cfg_pop(cfg, "PreserveOthers", "preserve_others", default=False))
     dest = cfg_pop(cfg, "dest", default=None)
     return lambda df: split_log_regex(

@@ -90,37 +90,9 @@ _MYSQL_FMT = {
 
 
 def _mysql_fmt_to_jdk(fmt: str) -> str:
-    out: list[str] = []
-    lit: list[str] = []  # pending run of literal letters
+    from ilogtail_spark.common import fmt_tokens_to_jdk
 
-    def _flush() -> None:
-        # quote a literal-letter run as ONE 'run': per-letter quoting
-        # would emit 'a''b' and JDK parses '' inside adjacent quoted
-        # sections as an escaped quote (literal a'b)
-        if lit:
-            out.append("'" + "".join(lit).replace("'", "''") + "'")
-            lit.clear()
-
-    i = 0
-    while i < len(fmt):
-        ch = fmt[i]
-        if ch == "%" and i + 1 < len(fmt):
-            tok = fmt[i + 1]
-            if tok not in _MYSQL_FMT:
-                raise ValueError(f"SPL date_parse: unsupported format token %{tok}")
-            _flush()
-            out.append(_MYSQL_FMT[tok])
-            i += 2
-        elif ch.isalpha():
-            lit.append(ch)
-            i += 1
-        else:
-            _flush()
-            # a bare quote outside a quoted section must itself escape
-            out.append("''" if ch == "'" else ch)
-            i += 1
-    _flush()
-    return "".join(out)
+    return fmt_tokens_to_jdk(fmt, _MYSQL_FMT, "SPL date_parse")
 
 
 def _find_call(expr: str, name: str, start: int = 0):

@@ -19,12 +19,17 @@ def _df(spark):
     )
 
 
-def test_filter_regex_include_full_match(spark):
-    # Include requires FULL match (processor_filter_regex.go:33-41)
+def test_filter_regex_include_partial_match(spark):
+    # Include is a PARTIAL match — Go MatchString, unanchored
+    # (processor_filter_regex.go:77-96)
     out = filter_regex(_df(spark), include={"msg": r"ERROR.*"})
     assert sorted(r.id for r in out.collect()) == [1, 3]
-    out = filter_regex(_df(spark), include={"msg": "ERROR"})  # not full text
-    assert out.count() == 0
+    out = filter_regex(_df(spark), include={"msg": "ERROR"})  # substring hit
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    out = filter_regex(_df(spark), include={"msg": "^INFO"})  # explicit anchor
+    assert [r.id for r in out.collect()] == [2]
+    # missing key fails Include
+    assert filter_regex(_df(spark), include={"nope": ".*"}).count() == 0
 
 
 def test_filter_regex_exclude(spark):
