@@ -289,3 +289,26 @@ def test_json_go_key_building(spark):
     t = build_pipeline([{"type": "processor_json", "SourceKey": "content",
                          "ExpandDepth": 0, "IgnoreFirstConnector": True}])
     assert dict(t(df2).collect()[0]["attrs"]) == {"a_b": "y"}
+
+
+def test_split_log_regex_go_unittest_fixtures(spark):
+    """Replay split_log_regex_test.go:79-130 (TestMultiLine): chunk
+    boundaries at fully-matching lines, empty lines merge as embedded
+    newlines, a trailing \\n stays WITH its chunk (the Go scanner's
+    [lastLineIndex:lastCheckIndex-1] carve), single-line blocks pass
+    through matched or not."""
+    from ilogtail_spark.operators.split import split_log_regex
+
+    def run(block):
+        df = spark.createDataFrame([(block,)], "content string")
+        return [r["content"]
+                for r in split_log_regex(df, "content", r"\[.*").collect()]
+
+    assert run("[2017-12-12 00:00:00] 你好\nhello\n\n[2017xxxxxx]yyyy\n [zzzz\n[") == [
+        "[2017-12-12 00:00:00] 你好\nhello\n",
+        "[2017xxxxxx]yyyy\n [zzzz",
+        "[",
+    ]
+    assert run("[2017-12-12 00:00:00] xxxxxx") == ["[2017-12-12 00:00:00] xxxxxx"]
+    assert run("[2017-12-12 00:00:00] xxxxxx\n") == ["[2017-12-12 00:00:00] xxxxxx\n"]
+    assert run("xxxxxx") == ["xxxxxx"]
