@@ -320,9 +320,14 @@ def _filter_tree_factory(**cfg):
 
 @register("processor_filter_key_regex")
 def _filter_key_factory(**cfg):
-    inc = cfg_pop(cfg, "IncludeKeys", "include_keys", default=None)
-    exc = cfg_pop(cfg, "ExcludeKeys", "exclude_keys", default=None)
-    return lambda df: filter_key_regex(df, include_keys=inc, exclude_keys=exc)
+    # Go's Include/Exclude param names (processor_filter_key_regex.go:29-30)
+    inc = cfg_pop(cfg, "Include", "IncludeKeys", "include_keys", default=None)
+    exc = cfg_pop(cfg, "Exclude", "ExcludeKeys", "exclude_keys", default=None)
+    attrs = cfg_pop(cfg, "attrs_col", default="attrs")
+    return lambda df: filter_key_regex(
+        df, include_keys=inc, exclude_keys=exc,
+        attrs_col=attrs if attrs in df.columns else None,
+    )
 
 
 @register("processor_timestamp_filter_native")

@@ -101,7 +101,10 @@ def parse_regex(
     """
     opts = options or ParserOptions()
     types = types or {}
-    pat = f"^{pattern}$" if full_match else pattern
+    # \A/\z: ABSOLUTE anchors — a caller-supplied inline (?m) must not
+    # let the closing anchor bind to an embedded line end (regex_match
+    # semantics, ProcessorParseRegexNative.cpp:194)
+    pat = rf"\A(?:{pattern})\z" if full_match else pattern
     # Go treats fewer capture groups than Keys as parse FAILURE for
     # every row (regex.go:115-120), not a config error — count groups
     # at plan time (Python re over the common dialect; Java-only
@@ -147,7 +150,12 @@ def parse_regex(
             # vivado-synth-log.md): Go appends only PARTICIPATING
             # groups (regex.go:121-127) — Java regexp_extract returns
             # "" for a non-participating group, so the last non-empty
-            # branch wins, falling back to "" on a match
+            # branch wins, falling back to "" on a match. Documented
+            # deviation: a PARTICIPATING empty capture (e.g. \w* that
+            # matched nothing) is indistinguishable from a skipped
+            # branch here, so an earlier branch's value wins where Go
+            # would resolve to "" — java.util.regex offers no
+            # participation signal
             col = F.coalesce(
                 *[F.nullif(F.col(f"_rx.g{i}"), F.lit("")) for i in reversed(idxs)]
             )
@@ -164,6 +172,16 @@ def parse_regex(
         out, "_rx_src" if stash else source, F.col("_rx.__ok"), opts
     )
     if stash:
+        # Go keeps the RAW source KV on parse failure even when a Key
+        # shadows SourceKey (shouldKeepSource, regex.go KeepSource /
+        # KeepSourceIfParseError) — restore it from the stash
+        if opts.keep_source_if_fail and not opts.discard_unmatch:
+            out = out.withColumn(
+                source,
+                F.when(F.col("_rx.__ok"), F.col(source)).otherwise(
+                    F.col("_rx_src")
+                ),
+            )
         out = out.drop("_rx_src")
     return out.drop("_rx")
 
@@ -435,89 +453,101 @@ def parse_json(
     return _apply_failure_contract(out, source, ok, opts)
 
 
-def _flatten_json_map(
-    source_col: Column,
+class _RawTok(str):
+    """Marker: a JSON scalar kept as its RAW source text (numbers via
+    parse_float/int hooks; constants)."""
+
+
+def _go_json_walk(
+    src: str,
     depth: int,
     connector: str,
     base: str,
     first_connector: str,
-) -> Column:
-    """Flattened map expression for processor_json's key building
-    (processor_json.go:134-201): every level-1 key becomes
-    ``base + first_connector + key`` (the Go code inserts
-    getConnector(1) between the empty preKey and the first-level key
-    — that is why the shipped file-json.yaml sets ExpandConnector
-    ""), level-2 keys join with ``connector``. ``depth`` 1 keeps
-    nested objects as raw JSON fragments; depth 0 (Go "unlimited") or
-    ≥2 expands one nested level and leaves deeper values as raw JSON
-    — our documented cap. Duplicate flattened keys (``{"a_b":1,
-    "a":{"b":2}}``) fold last-wins, never throw.
-    """
-    from ilogtail_spark.common import map_last_wins
+) -> dict | None:
+    """EXACT processor_json expansion (processor_json.go:134-201,
+    jsonparser.ObjectEach): only values that ARE objects recurse — a
+    STRING whose text looks like JSON stays a verbatim string (the
+    jsonparser dataType check; JVM from_json cannot make that
+    distinction, which is why this is a Python walk); depth 0 is
+    truly unlimited; a null value renders as "null"; numbers keep
+    their raw source text (parse hooks); arrays and beyond-depth
+    objects re-serialize compactly (the one deviation: Go returns the
+    raw span with original whitespace). Returns None when the source
+    is not a JSON object — the plugin's parse-failure path."""
+    import json
 
-    inner = "map<string,string>"
-    cur = F.from_json(source_col, inner)
-    lead = F.lit(base + first_connector)
+    try:
+        obj = json.loads(
+            src, parse_float=_RawTok, parse_int=_RawTok, parse_constant=_RawTok
+        )
+    except Exception:
+        return None
+    if not isinstance(obj, dict):
+        return None
 
-    # a JSON null VALUE arrives as the string "null" (jsonparser hands
-    # the Go callback raw value bytes; flattenValue appends them
-    # verbatim, processor_json.go:193-201) — from_json gives SQL NULL
-    def val(kv: Column) -> Column:
-        return F.coalesce(kv["value"], F.lit("null"))
+    def dump(v) -> str:
+        if isinstance(v, _RawTok):
+            return str(v)
+        if v is None:
+            return "null"
+        if v is True:
+            return "true"
+        if v is False:
+            return "false"
+        if isinstance(v, str):
+            return json.dumps(v, ensure_ascii=False)
+        if isinstance(v, list):
+            return "[" + ",".join(dump(x) for x in v) + "]"
+        if isinstance(v, dict):
+            return "{" + ",".join(
+                json.dumps(k, ensure_ascii=False) + ":" + dump(x)
+                for k, x in v.items()
+            ) + "}"
+        return json.dumps(v)
 
-    def lvl1(kv: Column) -> Column:
-        return F.array(
-            F.struct(
-                F.concat(lead, kv["key"]).alias("key"),
-                val(kv).alias("value"),
-            )
+    def scalar(v) -> str:
+        # flattenValue (go:193-201): strings verbatim, others raw
+        if isinstance(v, str) and not isinstance(v, _RawTok):
+            return v
+        return dump(v)
+
+    out: dict[str, str] = {}
+
+    def conn(d: int) -> str:
+        return first_connector if d == 1 else connector
+
+    def walk(prefix: str, o: dict, d: int) -> None:
+        for k, v in o.items():
+            key = prefix + conn(d) + k
+            if isinstance(v, dict):
+                if d == depth:  # nowDepth == maxDepth -> raw (go:158-163)
+                    out[key] = dump(v)
+                else:
+                    walk(key, v, d + 1)
+            elif isinstance(v, list):
+                # ExpandArray false (the Go default): raw fragment
+                out[key] = dump(v)
+            else:
+                out[key] = scalar(v)
+
+    walk(base, obj, 1)
+    return out
+
+
+def _go_json_udf(depth: int, connector: str, base: str, first_connector: str):
+    """Vectorized Arrow batch UDF for the Go-flavor expansion — one
+    Python pass per batch, map<string,string> out, NULL on failure."""
+
+    @F.pandas_udf("map<string,string>")
+    def run(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: None
+            if v is None
+            else _go_json_walk(v, depth, connector, base, first_connector)
         )
 
-    entries = F.map_entries(cur)
-    if depth == 1:
-        expanded = F.flatten(F.transform(entries, lvl1))
-    else:
-        expanded = F.flatten(
-            F.transform(
-                entries,
-                lambda kv: F.when(
-                    F.from_json(kv["value"], inner).isNotNull(),
-                    F.transform(
-                        F.map_entries(F.from_json(kv["value"], inner)),
-                        lambda kv2: F.struct(
-                            F.concat(
-                                lead,
-                                kv["key"],
-                                F.lit(connector),
-                                kv2["key"],
-                            ).alias("key"),
-                            val(kv2).alias("value"),
-                        ),
-                    ),
-                ).otherwise(lvl1(kv)),
-            )
-        )
-    return F.when(cur.isNotNull(), map_last_wins(expanded))
-
-
-def expand_json(
-    df: DataFrame,
-    source: str,
-    depth: int = 1,
-    connector: str = "_",
-    prefix: str = "",
-) -> DataFrame:
-    """processor_json nested expansion (processor_json.go:29-42,59).
-
-    Flattens nested objects up to ``depth`` with ``connector``-joined
-    key paths into a map column ``<source>_expanded``; depth>2 falls
-    back to string maps of JSON fragments (matching the reference's
-    behavior of leaving deeper values as raw JSON strings).
-    """
-    out = _flatten_json_map(
-        F.col(source), depth, connector, base=prefix, first_connector=""
-    )
-    return df.withColumn(f"{source}_expanded", out)
+    return run
 
 
 def parse_json_expanded(
@@ -543,8 +573,12 @@ def parse_json_expanded(
     base = prefix + (source if use_source_key_as_prefix else "")
     first = "" if ignore_first_connector else connector
     src = resolve_key(df, source, attrs_col)
-    parsed = _flatten_json_map(src, depth, connector, base, first)
-    ok = F.from_json(src, "map<string,string>").isNotNull()
+    parsed = _go_json_udf(depth, connector, base, first)(src)
+    # materialize once: parsed is referenced by ok + the merge
+    mcol = "_pj_parsed"
+    df = df.withColumn(mcol, parsed)
+    parsed = F.col(mcol)
+    ok = parsed.isNotNull()
     if attrs_col in df.columns:
         # chained stage: merge the new flattened keys into the
         # existing KV bag last-wins (the reference appends to the
@@ -567,21 +601,29 @@ def parse_json_expanded(
                 drop_src & src.isNotNull(),
                 F.map_filter(old, lambda k, _v: k != F.lit(source)),
             ).otherwise(old)
+        # a NULL existing bag must not swallow the parsed keys
+        # (map_entries(NULL) poisons the concat)
+        empty = F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast("array<string>")
+        )
         merged = F.when(
             ok,
             map_last_wins(
-                F.concat(F.map_entries(kept), F.map_entries(parsed))
+                F.concat(
+                    F.map_entries(F.coalesce(kept, empty)),
+                    F.map_entries(parsed),
+                )
             ),
         ).otherwise(kept)
         out = df.withColumn(attrs_col, merged)
-        if source in df.columns:
-            return _apply_failure_contract(out, source, ok, opts)
+        if source in out.columns and source != mcol:
+            return _apply_failure_contract(out, source, ok, opts).drop(mcol)
         out = out.withColumn(PARSE_OK_KEY, ok)
         if opts.discard_unmatch:
             out = out.filter(F.col(PARSE_OK_KEY))
-        return out
+        return out.drop(mcol)
     out = df.withColumn(attrs_col, parsed)
-    return _apply_failure_contract(out, source, ok, opts)
+    return _apply_failure_contract(out, source, ok, opts).drop(mcol)
 
 
 # ---------------------------------------------------------------------------
@@ -1078,6 +1120,10 @@ def _json_factory(**cfg):
         )
     )
     if go_flavor:
+        # the Go plugin's init defaults KeepSource TRUE
+        # (processor_json.go:112) — the native C++ flavor does not
+        if "KeepSource" not in cfg and "keep_source" not in cfg:
+            cfg["KeepSource"] = True
         depth = int(cfg_pop(cfg, "ExpandDepth", default=0))
         connector = cfg_pop(cfg, "ExpandConnector", default="_")
         prefix = cfg_pop(cfg, "Prefix", default="")

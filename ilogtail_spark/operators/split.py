@@ -386,7 +386,9 @@ def split_log_regex(
             "\n",
         ),
     )
-    out = out.withColumn(dest or source, F.explode(chunks))
+    # explode_outer: a NULL source row passes through (NULL dest)
+    # instead of silently vanishing from the pipeline
+    out = out.withColumn(dest or source, F.explode_outer(chunks))
     out = out.drop(lines_c, bounds_c)
     if not preserve_others:
         keep = {source, dest or source}
