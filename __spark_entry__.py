@@ -1189,6 +1189,28 @@ flushers:
     )
 
 
+def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals (Rae
+    et al. 2021 §A1.1): duplicate-word fraction, top-word fraction,
+    characters covered by the most frequent bigram — each a linear
+    per-row JVM fold (array_sort + longest-equal-run), zero shuffle;
+    the repetition FILTER is then an ordinary pushed-down predicate."""
+    from ilogtail_spark.functions.textstats import repetition_stats
+
+    docs = load_table(spark, sf, "documents")
+    out = repetition_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        "dup_word_frac",
+        "top_word_frac",
+        "top_bigram_char_frac",
+        (
+            (F.col("dup_word_frac") <= 0.6) & (F.col("top_word_frac") <= 0.3)
+            & (F.col("top_bigram_char_frac") <= 0.2)
+        ).alias("keep"),
+    )
+
+
 def _q_geoip_config(spark: SparkSession, sf: str) -> DataFrame:
     """processor_geoip + processor_cloud_meta through the config-driven
     registry (processor_geoip.go:35-53 with a CSV range table standing
@@ -1771,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_curation_pipeline": _q_curation_pipeline,
         "q72_split_log_regex": _q_split_log_regex,
         "q73_yaml_pipeline": _q_yaml_pipeline,
+        "q74_repetition_stats": _q_repetition_stats,
     }
 
 
@@ -2834,4 +2857,60 @@ def oracle_sql() -> dict[str, str]:
            FROM parsed
            WHERE parse_ok
              AND regexp_matches(CAST(status AS VARCHAR), '[45][0-9][0-9]')""",
+        # most-frequent element ties resolve to the smallest value in
+        # BOTH engines: Spark takes the first max-run of the sorted
+        # array; the oracle orders cnt DESC, value ASC
+        "q74_repetition_stats": r"""
+           WITH w AS (
+             SELECT doc_id,
+                    length(regexp_replace(lower(trim(text)), '\s+', '', 'g'))
+                      AS chars,
+                    CASE WHEN length(lower(trim(text))) = 0
+                         THEN []::VARCHAR[]
+                         ELSE regexp_split_to_array(lower(trim(text)), '\s+')
+                    END AS ws
+             FROM documents
+           ), stats AS (
+             SELECT doc_id, chars, len(ws) AS nw,
+                    len(list_distinct(ws)) AS ndw
+             FROM w
+           ), topw AS (
+             SELECT doc_id, wd, count(*) AS cnt
+             FROM (SELECT doc_id, unnest(ws) AS wd FROM w)
+             GROUP BY 1, 2
+             QUALIFY row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, wd ASC) = 1
+           ), topg AS (
+             SELECT doc_id, g, count(*) AS cnt
+             FROM (SELECT doc_id,
+                          unnest(list_transform(range(len(ws) - 1),
+                                 i -> ws[i+1] || ' ' || ws[i+2])) AS g
+                   FROM w WHERE len(ws) >= 2)
+             GROUP BY 1, 2
+             QUALIFY row_number() OVER (PARTITION BY doc_id
+                       ORDER BY cnt DESC, g ASC) = 1
+           )
+           SELECT s.doc_id,
+                  CASE WHEN s.nw > 0
+                       THEN 1.0 - s.ndw::DOUBLE / s.nw ELSE 0.0
+                  END AS dup_word_frac,
+                  CASE WHEN s.nw > 0
+                       THEN tw.cnt::DOUBLE / s.nw ELSE 0.0
+                  END AS top_word_frac,
+                  CASE WHEN s.chars > 0 AND tg.cnt IS NOT NULL
+                       THEN tg.cnt::DOUBLE * length(replace(tg.g, ' ', ''))
+                            / s.chars
+                       ELSE 0.0
+                  END AS top_bigram_char_frac,
+                  (CASE WHEN s.nw > 0
+                        THEN 1.0 - s.ndw::DOUBLE / s.nw ELSE 0.0 END) <= 0.6
+                  AND (CASE WHEN s.nw > 0
+                        THEN tw.cnt::DOUBLE / s.nw ELSE 0.0 END) <= 0.3
+                  AND (CASE WHEN s.chars > 0 AND tg.cnt IS NOT NULL
+                        THEN tg.cnt::DOUBLE * length(replace(tg.g, ' ', ''))
+                             / s.chars ELSE 0.0 END) <= 0.2
+                    AS keep
+           FROM stats s
+           LEFT JOIN topw tw USING (doc_id)
+           LEFT JOIN topg tg USING (doc_id)""",
     }

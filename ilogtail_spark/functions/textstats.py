@@ -142,3 +142,81 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp64": fingerprint64(c),
         }
     )
+
+
+def _top_run(arr: Column) -> Column:
+    """(count, value) of the most frequent element of ``arr`` — the
+    longest equal run of the SORTED array, one linear JVM fold, zero
+    shuffle. Ties resolve to the lexicographically smallest value
+    (sort order), mirrored exactly in the DuckDB oracle
+    (ORDER BY cnt DESC, g ASC)."""
+    s = F.array_sort(arr)
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("bestv"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestv"]).alias("bestv"),
+        )
+
+    out = F.aggregate(s, acc0, step)
+    return F.struct(out["best"].alias("cnt"), out["bestv"].alias("val"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021 §A1.1 quality heuristics, adapted to the whitespace token
+    model the rest of this module uses):
+
+      * ``dup_word_frac``   — 1 - distinct/total words
+      * ``top_word_frac``   — occurrences of the most frequent word /
+                              total words
+      * ``top_bigram_char_frac`` — characters covered by copies of the
+                              most frequent word BIGRAM / total
+                              non-space characters
+
+    All three are per-row linear folds over the token array — narrow,
+    no shuffle, survives any scale-up untouched. A repetition FILTER
+    is then a plain Catalyst predicate over these columns.
+    """
+    c = F.lower(F.trim(F.col(text_col)))
+    words = F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+    nw = F.size(words)
+    grams = F.when(
+        nw >= 2,
+        F.transform(
+            F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+            lambda w, i: F.concat(w, F.lit(" "), F.try_element_at(words, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chars = F.length(F.regexp_replace(c, r"\s+", ""))
+    top_w = _top_run(words)
+    top_g = _top_run(grams)
+    return df.withColumns(
+        {
+            "dup_word_frac": F.when(
+                nw > 0,
+                1.0 - F.size(F.array_distinct(words)).cast("double") / nw,
+            ).otherwise(F.lit(0.0)),
+            "top_word_frac": F.when(
+                nw > 0, top_w["cnt"].cast("double") / nw
+            ).otherwise(F.lit(0.0)),
+            "top_bigram_char_frac": F.when(
+                (chars > 0) & (F.size(grams) > 0),
+                top_g["cnt"].cast("double")
+                * F.length(F.regexp_replace(top_g["val"], r"\s+", ""))
+                / chars,
+            ).otherwise(F.lit(0.0)),
+        }
+    )

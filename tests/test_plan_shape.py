@@ -154,3 +154,30 @@ def test_otel_decode_is_narrow(spark):
         plan = _plan(op(df, "otel", keep=["id"]))
         assert "Exchange" not in plan, plan
         assert "Generate" in plan
+
+
+def test_split_log_regex_is_narrow(spark):
+    """q72's operator: a per-row array computation — NO Exchange of
+    any kind in the split itself (boundaries + chunks are
+    materialized projections, not re-inlined per element)."""
+    from ilogtail_spark.operators.split import split_log_regex
+
+    df = spark.createDataFrame([("a", "x\ny")], "id string, content string")
+    out = split_log_regex(df, "content", r"y", preserve_others=True)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    # the boundary scan must appear ONCE, not once per chunk element
+    # (the expression-blowup regression that cost 351 s at sf0.1)
+    assert plan.count("_slr_bounds") <= 4
+
+
+def test_repetition_stats_is_narrow(spark):
+    """q74: all three repetition signals are linear per-row folds —
+    zero Exchange, no window, no join."""
+    from ilogtail_spark.functions.textstats import repetition_stats
+
+    df = spark.createDataFrame([("d1", "a b a b a")], "doc_id string, text string")
+    out = repetition_stats(df, "text")
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "Window" not in plan and "Join" not in plan
