@@ -269,8 +269,20 @@ from ilogtail_spark.operators.registry import register  # noqa: E402
 @register("processor_grok")
 def _grok_factory(**cfg):
     """processor_grok (processor_grok.go:41-55,147-192): Match takes
-    an ordered list of grok expressions; first success wins."""
+    an ordered list of grok expressions; first success wins.
+    KeepSource defaults TRUE and IgnoreParseFailure (keep source on
+    failure) TRUE — the Go init values (processor_grok.go:46-48)."""
+    from ilogtail_spark.operators.parse import ParserOptions
+
     patterns = cfg.get("Match", cfg.get("patterns"))
     source = cfg.get("SourceKey", cfg.get("source", "text"))
     custom = cfg.get("CustomPatterns", cfg.get("custom_patterns"))
-    return lambda df: grok_parse(df, patterns, source=source, custom_patterns=custom)
+    opts = ParserOptions(
+        keep_source=bool(cfg.get("KeepSource", cfg.get("keep_source", True))),
+        keep_source_if_fail=bool(
+            cfg.get("IgnoreParseFailure", cfg.get("ignore_parse_failure", True))
+        ),
+    )
+    return lambda df: grok_parse(
+        df, patterns, source=source, custom_patterns=custom, options=opts
+    )

@@ -464,6 +464,7 @@ def _go_json_walk(
     connector: str,
     base: str,
     first_connector: str,
+    expand_array: bool = False,
 ) -> dict | None:
     """EXACT processor_json expansion (processor_json.go:134-201,
     jsonparser.ObjectEach): only values that ARE objects recurse — a
@@ -517,6 +518,9 @@ def _go_json_walk(
     def conn(d: int) -> str:
         return first_connector if d == 1 else connector
 
+    def walk_obj(built_key: str, o: dict, d: int) -> None:
+        walk(built_key, o, d)
+
     def walk(prefix: str, o: dict, d: int) -> None:
         for k, v in o.items():
             key = prefix + conn(d) + k
@@ -526,8 +530,24 @@ def _go_json_walk(
                 else:
                     walk(key, v, d + 1)
             elif isinstance(v, list):
-                # ExpandArray false (the Go default): raw fragment
-                out[key] = dump(v)
+                if not expand_array or d == depth:
+                    # ExpandArray false (the Go default): raw fragment
+                    out[key] = dump(v)
+                else:
+                    # flattenArray (go:171-190): elements keyed
+                    # key[i]; objects recurse at this depth, nested
+                    # arrays fall to flattenValue (raw), scalars as-is
+                    for idx, item in enumerate(v):
+                        ik = prefix + conn(d) + f"{k}[{idx}]"
+                        if isinstance(item, dict):
+                            if d == depth:
+                                out[ik] = dump(item)
+                            else:
+                                walk_obj(ik, item, d + 1)
+                        elif isinstance(item, list):
+                            out[ik] = dump(item)
+                        else:
+                            out[ik] = scalar(item)
             else:
                 out[key] = scalar(v)
 
@@ -535,7 +555,13 @@ def _go_json_walk(
     return out
 
 
-def _go_json_udf(depth: int, connector: str, base: str, first_connector: str):
+def _go_json_udf(
+    depth: int,
+    connector: str,
+    base: str,
+    first_connector: str,
+    expand_array: bool = False,
+):
     """Vectorized Arrow batch UDF for the Go-flavor expansion — one
     Python pass per batch, map<string,string> out, NULL on failure."""
 
@@ -544,7 +570,9 @@ def _go_json_udf(depth: int, connector: str, base: str, first_connector: str):
         return s.map(
             lambda v: None
             if v is None
-            else _go_json_walk(v, depth, connector, base, first_connector)
+            else _go_json_walk(
+                v, depth, connector, base, first_connector, expand_array
+            )
         )
 
     return run
@@ -559,13 +587,15 @@ def parse_json_expanded(
     prefix: str = "",
     use_source_key_as_prefix: bool = False,
     ignore_first_connector: bool = False,
+    expand_array: bool = False,
     options: ParserOptions | None = None,
 ) -> DataFrame:
     """processor_json (Go flavor) with the reference's exact key
     building (processor_json.go:29-42,134-201): final key =
     Prefix + [SourceKey] + getConnector(1) + k1 [+ connector + k2].
-    ExpandArray stays false-equivalent (arrays kept as raw JSON, the
-    Go default). Parse failure follows the shared contract.
+    ``expand_array`` follows flattenArray (go:171-190): elements key
+    as ``k[i]``, objects recurse, nested arrays stay raw. Parse
+    failure follows the shared contract.
     """
     opts = options or ParserOptions()
     from ilogtail_spark.common import resolve_key
@@ -573,7 +603,7 @@ def parse_json_expanded(
     base = prefix + (source if use_source_key_as_prefix else "")
     first = "" if ignore_first_connector else connector
     src = resolve_key(df, source, attrs_col)
-    parsed = _go_json_udf(depth, connector, base, first)(src)
+    parsed = _go_json_udf(depth, connector, base, first, expand_array)(src)
     # materialize once: parsed is referenced by ok + the merge
     mcol = "_pj_parsed"
     df = df.withColumn(mcol, parsed)
@@ -1117,6 +1147,7 @@ def _json_factory(**cfg):
             "Prefix",
             "UseSourceKeyAsPrefix",
             "IgnoreFirstConnector",
+            "ExpandArray",
         )
     )
     if go_flavor:
@@ -1129,6 +1160,7 @@ def _json_factory(**cfg):
         prefix = cfg_pop(cfg, "Prefix", default="")
         use_src = bool(cfg_pop(cfg, "UseSourceKeyAsPrefix", default=False))
         ignore_first = bool(cfg_pop(cfg, "IgnoreFirstConnector", default=False))
+        expand_array = bool(cfg_pop(cfg, "ExpandArray", default=False))
         opts = _opts_from_config(cfg)
         source = cfg_pop(cfg, "SourceKey", "source", default="text")
         return lambda df: parse_json_expanded(
@@ -1139,6 +1171,7 @@ def _json_factory(**cfg):
             prefix=prefix,
             use_source_key_as_prefix=use_src,
             ignore_first_connector=ignore_first,
+            expand_array=expand_array,
             options=opts,
         )
     opts = _opts_from_config(cfg)

@@ -118,3 +118,51 @@ def test_split_log_regex_null_passthrough(spark):
     out = split_log_regex(df, "content", r"y", preserve_others=True)
     rows = {(r["id"], r["content"]) for r in out.collect()}
     assert rows == {("a", "x"), ("a", "y"), ("b", None)}
+
+
+def test_json_go_unittest_fixture(spark):
+    """Replay processor_json_test.go:34-68,203-220 (TestSourceKey /
+    TestExpandArray) through the registry: Prefix+UseSourceKeyAsPrefix
+    key building, unlimited depth, raw array fragments vs ExpandArray
+    k[i] element keys (empty arrays vanish when expanded)."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    jv = ('{"k1":{"k2":{"k3":{"k4":{"k51":"51","k52":"52"},"k41":"41"}}},'
+          '"k6":[{"x":"a"},{"x":"b"}],"k7":[]}')
+    df = spark.createDataFrame([(jv,)], "s_key string")
+
+    def run(**extra):
+        t = build_pipeline([{
+            "type": "processor_json", "SourceKey": "s_key",
+            "ExpandDepth": 0, "ExpandConnector": "-", "Prefix": "j",
+            "UseSourceKeyAsPrefix": True, **extra,
+        }])
+        return dict(t(df).collect()[0]["attrs"])
+
+    assert run() == {
+        "js_key-k1-k2-k3-k4-k51": "51",
+        "js_key-k1-k2-k3-k4-k52": "52",
+        "js_key-k1-k2-k3-k41": "41",
+        "js_key-k6": '[{"x":"a"},{"x":"b"}]',
+        "js_key-k7": "[]",
+    }
+    assert run(ExpandArray=True) == {
+        "js_key-k1-k2-k3-k4-k51": "51",
+        "js_key-k1-k2-k3-k4-k52": "52",
+        "js_key-k1-k2-k3-k41": "41",
+        "js_key-k6[0]-x": "a",
+        "js_key-k6[1]-x": "b",
+    }
+
+
+def test_grok_keep_source_defaults(spark):
+    """processor_grok.go:47-48 init: KeepSource true,
+    IgnoreParseFailure true — source survives success AND failure by
+    default through the registry."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    t = build_pipeline([{"type": "processor_grok", "SourceKey": "content",
+                         "Match": ["%{IP:ip}"]}])
+    df = spark.createDataFrame([("1.2.3.4",), ("nope",)], "content string")
+    got = {r["content"]: r["ip"] for r in t(df).collect()}
+    assert got == {"1.2.3.4": "1.2.3.4", "nope": None}
