@@ -258,3 +258,38 @@ def session_stream_agg(
             "n_events",
         )
     )
+
+
+def build_streaming_query_from_config(
+    stream: DataFrame,
+    config_yaml: str,
+    sink_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    watermark: str | None = "1 hour",
+    trigger_seconds: int | None = None,
+):
+    """Run a reference-style YAML collection config as a STREAMING
+    job: the same registry-composed chain `pipeline_from_yaml`
+    builds for batch executes inside foreachBatch — the reference's
+    one-pipeline-definition-both-modes property (a CollectionConfig
+    doesn't know whether its input tails a file or replays a
+    directory). Watermark ≙ the late-data policy; flusher entries are
+    the caller's concern exactly as in the batch path."""
+    from ilogtail_spark.plans.pipeline import pipeline_from_yaml
+
+    transform, _flushers = pipeline_from_yaml(config_yaml)
+    withwm = stream.withWatermark("ts", watermark) if watermark else stream
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sink_fn(transform(batch_df), epoch_id)
+
+    writer = (
+        withwm.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer

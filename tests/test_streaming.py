@@ -254,3 +254,53 @@ def test_session_stream_agg_matches_batch_sessions(spark, tmp_path):
     }
     assert got == exp
     assert len(got) == 4
+
+
+def test_yaml_config_streaming_matches_batch(spark, sf_dir, tmp_path):
+    """A YAML collection config runs UNCHANGED as a streaming job
+    (foreachBatch) and emits exactly the batch chain's rows."""
+    from ilogtail_spark.plans.pipeline import pipeline_from_yaml
+    from ilogtail_spark.streaming.job import (
+        build_streaming_query_from_config,
+        streaming_transcripts,
+    )
+
+    yaml_text = r"""
+enable: true
+processors:
+  - Type: processor_regex
+    SourceKey: text
+    Regex: 'tool=(\w+) status=(\d+) '
+    Keys: [tool_call, status]
+  - Type: processor_filter_regex
+    Include:
+      status: '5\d\d'
+"""
+    src_dir = str(tmp_path / "yaml_stream_src")
+    derive_transcripts(spark, sf_dir).repartition(4).write.parquet(src_dir)
+
+    collected = []
+
+    def sink(df, epoch_id):
+        collected.extend(
+            df.select("conv_id", "turn_idx", "tool_call", "status").collect()
+        )
+
+    stream = streaming_transcripts(spark, src_dir, max_files_per_trigger=2)
+    q = build_streaming_query_from_config(
+        stream, yaml_text, sink, checkpoint_dir=str(tmp_path / "yaml_ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    transform, _ = pipeline_from_yaml(yaml_text)
+    exp = {
+        (r["conv_id"], r["turn_idx"], r["tool_call"], r["status"])
+        for r in transform(derive_transcripts(spark, sf_dir))
+        .select("conv_id", "turn_idx", "tool_call", "status")
+        .collect()
+    }
+    got = {
+        (r["conv_id"], r["turn_idx"], r["tool_call"], r["status"])
+        for r in collected
+    }
+    assert got == exp and len(collected) == len(exp)
