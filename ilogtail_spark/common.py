@@ -117,13 +117,22 @@ C_STRPTIME_TOKENS = {
     "p": "a", "b": "MMM", "h": "MMM", "B": "MMMM", "a": "EEE",
     "A": "EEEE", "j": "DDD", "z": "xx", "Z": "zzz",
     "T": "HH:mm:ss", "F": "yyyy-MM-dd", "R": "HH:mm", "D": "MM/dd/yy",
+    # %f: the Go strptime lib's fractional-seconds extension; Spark's
+    # fraction parser is width-lenient, so nine S's accept 1-9 digits
+    "f": "SSSSSSSSS",
     "n": "\n", "t": "\t", "%": "%",
 }
 
 
 def strptime_to_jdk(fmt: str) -> str:
     """C strptime format -> JDK pattern (the reference strptime
-    plugin's Format dialect)."""
+    plugin's Format dialect).
+
+    Documented deviation: a format carrying BOTH %z and %Z (offset
+    AND zone name, strptime_test.go:110) resolves through java.time,
+    which lets the parsed zone NAME win over the offset; Go's
+    time.Parse honors the offset. No shipped or user_contrib config
+    combines the two."""
     return fmt_tokens_to_jdk(fmt, C_STRPTIME_TOKENS, "strptime")
 
 

@@ -28,6 +28,11 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
     "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
     "POSINT": r"\b[1-9]\d*\b",
+    "BASE16NUM": r"(?<![0-9A-Fa-f])(?:[+-]?(?:0x)?(?:[0-9A-Fa-f]+))",
+    "BASE16FLOAT": (
+        r"\b(?<![0-9A-Fa-f.])(?:[+-]?(?:0x)?"
+        r"(?:(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)|(?:\.[0-9A-Fa-f]+)))\b"
+    ),
     "NONNEGINT": r"\b\d+\b",
     "QUOTEDSTRING": r"\"[^\"]*\"|'[^']*'",
     "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
@@ -70,7 +75,7 @@ DEFAULT_PATTERNS: dict[str, str] = {
     ),
 }
 
-_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.]+))?(?::(int|float|long))?\}")
+_REF = re.compile(r"%\{(\w+)(?::([\w\[\]@.-]+))?(?::(int|float|long))?\}")
 
 MAX_EXPANSION_DEPTH = 10
 
@@ -143,7 +148,7 @@ def compile_grok(
             i += 1
             continue
         if ch == "(":
-            m = re.match(r"\(\?<([A-Za-z][A-Za-z0-9_]*)>", expanded[i:])
+            m = re.match(r"\(\?P?<([A-Za-z][A-Za-z0-9_]*)>", expanded[i:])
             if m:
                 name = m.group(1)
                 mk = re.fullmatch(r"gk(\d+)gk", name)
@@ -255,7 +260,7 @@ def _grok_parse_multi(df, pats, source, custom_patterns, options):
     )
     out = out.withColumn("_gw", field_struct)
     for f in union_fields:
-        col = F.col(f"_gw.{f}")
+        col = F.col("_gw")[f]
         if f in union_types:
             col = col.cast(union_types[f])
         out = out.withColumn(f, col)

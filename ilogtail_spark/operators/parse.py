@@ -1228,19 +1228,43 @@ def _ts_factory(**cfg):
     if not epoch and "%" in fmt:
         from ilogtail_spark.common import strptime_to_jdk
 
+        had_zone = "%z" in fmt or "%Z" in fmt
         fmt = strptime_to_jdk(fmt)
+        if not had_zone:
+            # the Go strptime lib tolerates a trailing zone designator
+            # the format does not mention ("...47:123Z" with a Z-less
+            # Format, strptime_test.go:126-131); JDK demands full
+            # consumption — an OPTIONAL offset section absorbs it
+            fmt += "[XXX]"
     tz = cfg_pop(cfg, "SourceTimezone", "source_tz", default=None)
     dest = cfg_pop(cfg, "dest", default="ts")
     keep = bool(cfg_pop(cfg, "KeepSource", "keep_source", default=True))
+    precise = bool(cfg_pop(cfg, "EnablePreciseTimestamp", default=False))
+    precise_key = cfg_pop(cfg, "PreciseTimestampKey", default="precise_timestamp")
 
     def run(df):
         from ilogtail_spark.common import resolve_key
 
         src = resolve_key(df, source)
         if epoch:
-            out = df.withColumn(dest, F.timestamp_seconds(src.try_cast("long")))
+            # %s accepts second, MILLI and MICRO epochs by digit count
+            # and truncates all of them to SECONDS — strptime_test.go:
+            # 113-120 expects the same second AND the same (whole-
+            # second) precise_timestamp for all three widths
+            n = src.try_cast("long")
+            sec = (
+                F.when(F.length(src) > 15, F.floor(n / 1_000_000))
+                .when(F.length(src) > 12, F.floor(n / 1_000))
+                .otherwise(n)
+            ).cast("long")
+            out = df.withColumn(dest, F.timestamp_seconds(sec))
         else:
             out = parse_timestamp(df, src, fmt, dest=dest, source_tz=tz)
+        if precise:  # strptime.go:66-67 — epoch millis of the parse
+            out = out.withColumn(
+                precise_key,
+                F.unix_millis(F.col(dest).cast("timestamp")).cast("string"),
+            )
         if not keep:  # strptime.go KeepSource=false removes the field
             if source in df.columns:
                 out = out.drop(source)

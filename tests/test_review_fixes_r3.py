@@ -166,3 +166,97 @@ def test_grok_keep_source_defaults(spark):
     df = spark.createDataFrame([("1.2.3.4",), ("nope",)], "content string")
     got = {r["content"]: r["ip"] for r in t(df).collect()}
     assert got == {"1.2.3.4": "1.2.3.4", "nope": None}
+
+
+def test_grok_go_unittest_parse_fixtures(spark):
+    """Replay processor_grok_test.go:119-236 (TestProcessorGrokParse):
+    dash aliases, mixed grok + (?P<>) regex groups, unicode, the
+    (?ms) multi-line thread-dump pattern, empty-record failure."""
+    from ilogtail_spark.functions.grok import grok_parse
+
+    def run(match, record):
+        df = spark.createDataFrame([(record,)], "content string")
+        r = grok_parse(df, match, source="content").collect()[0]
+        return r
+
+    r = run("%{WORD:word1} %{NUMBER:request_time} %{WORD:word2}",
+            "begin 123.456 end")
+    assert (r["word1"], r["request_time"], r["word2"]) == (
+        "begin", "123.456", "end")
+
+    r = run("%{WORD:word1} %{NUMBER:request_time} %{WORD:word2}", "")
+    assert r["__parse_ok__"] is False
+
+    r = run("%{WORD:english-word} %{GREEDYDATA:message}", "hello こんにちは")
+    assert (r["english-word"], r["message"]) == ("hello", "こんにちは")
+
+    r = run("%{WORD:english-word} %{GREEDYDATA:message} (?P<message2>.*)",
+            "hello こんにちは 你好")
+    assert (r["english-word"], r["message"], r["message2"]) == (
+        "hello", "こんにちは", "你好")
+
+    stack_pat = (
+        r"\[%{TIMESTAMP_ISO8601:time_local}\] %{NUMBER:pid} "
+        r"%{QUOTEDSTRING:thread} prio=%{NUMBER:prio} tid=%{BASE16NUM:tid} "
+        r"nid=%{BASE16NUM:nid} %{DATA:func} \[%{BASE16NUM:addr}\]"
+        r"%{SPACE}(?ms)%{GREEDYDATA:stack}"
+    )
+    record = (
+        '[2023-02-09T00:24:43.922554223+08:00] 1 "BLOCKED_TEST pool-1-thread-2"'
+        " prio=6 tid=0x0000000007673800 nid=0x260c waiting for monitor entry"
+        " [0x0000000008abf000]\n"
+        "java.lang.Thread.State: BLOCKED (on object monitor)\n"
+        "\t at com.nbp.ThreadBlockedState.monitorLock(ThreadBlockedState.java:43)"
+    )
+    r = run(stack_pat, record)
+    assert r["time_local"] == "2023-02-09T00:24:43.922554223+08:00"
+    assert r["pid"] == "1"
+    assert r["thread"] == '"BLOCKED_TEST pool-1-thread-2"'
+    assert (r["prio"], r["tid"], r["nid"]) == (
+        "6", "0x0000000007673800", "0x260c")
+    assert r["func"] == "waiting for monitor entry"
+    assert r["addr"] == "0x0000000008abf000"
+    assert r["stack"].startswith("java.lang.Thread.State: BLOCKED")
+
+
+def test_strptime_go_unittest_format_fixtures(spark):
+    """Replay strptime_test.go:88-149 (TestFormat) through the
+    registry: every C-strptime Format row incl. %f fractions, %z/%Z
+    zones, and %s second/milli/micro epochs (all truncated to whole
+    seconds, like the plugin)."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    cases = [
+        # (input, format, expected epoch sec, expected precise ms)
+        ("2016/01/02", "%Y/%m/%d", 1451692800, 1451692800000),
+        ("2016/01/02 12:59:59", "%Y/%m/%d %H:%M:%S", 1451739599, 1451739599000),
+        ("2016/01/02-12:59:59", "%Y/%m/%d-%H:%M:%S", 1451739599, 1451739599000),
+        ("2016/01/02 12:59:59.1234", "%Y/%m/%d %H:%M:%S.%f",
+         1451739599, 1451739599123),
+        # BOTH %z and %Z: java.time resolves the zone NAME over the
+        # offset (Go honors the offset — documented deviation in
+        # common.strptime_to_jdk); with the name being UTC here the
+        # instant lands at 12:59:59Z
+        ("2016/01/02 12:59:59.987654321 +0700 (UTC)",
+         "%Y/%m/%d %H:%M:%S.%f %z (%Z)", 1451739599, 1451739599987),
+        ("1451710799", "%s", 1451710799, 1451710799000),
+        ("1451710799123", "%s", 1451710799, 1451710799000),
+        ("1451710799123456", "%s", 1451710799, 1451710799000),
+        ("2016/Jan/02 12:59:59,123456", "%Y/%b/%d %H:%M:%S,%f",
+         1451739599, 1451739599123),
+        ("2019-07-15T04:16:47:123Z", "%Y-%m-%dT%H:%M:%S:%f",
+         1563164207, 1563164207123),
+    ]
+    for inp, fmt, exp_sec, exp_ms in cases:
+        t = build_pipeline([{
+            "type": "processor_strptime", "SourceKey": "time",
+            "Format": fmt, "EnablePreciseTimestamp": True,
+        }])
+        df = spark.createDataFrame([(inp,)], "time string")
+        r = t(df).selectExpr(
+            "time", "unix_seconds(cast(ts as timestamp)) AS sec",
+            "precise_timestamp"
+        ).collect()[0]
+        assert r["sec"] == exp_sec, (inp, fmt, r["sec"], exp_sec)
+        assert r["precise_timestamp"] == str(exp_ms), (inp, fmt)
+        assert r["time"] == inp  # KeepSource default true
