@@ -10,6 +10,7 @@ keeps its dict in memory per worker
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -114,21 +115,86 @@ def load_dict_csv(path: str, max_dict_size: int = 1000) -> dict[str, str]:
     return mapping
 
 
+def _go_unquote_one(v: str | None) -> str | None:
+    """strconv.Unquote replay (processor_string_replace.go:116-121):
+    a fully-quoted value unquotes directly; otherwise raw ``"`` are
+    protected as ``\\x22`` and the value is unquoted as if quoted.
+    Any decode error returns the value UNCHANGED (the plugin's
+    fallback). One deviation: Go's ``\\xHH`` for HH ≥ 0x80 emits a
+    raw byte (usually invalid UTF-8); we emit the code point."""
+    if v is None:
+        return None
+
+    def decode(s: str) -> str:
+        out: list[str] = []
+        i = 0
+        while i < len(s):
+            c = s[i]
+            if c == '"':
+                raise ValueError("bare quote")
+            if c != "\\":
+                out.append(c)
+                i += 1
+                continue
+            i += 1
+            if i >= len(s):
+                raise ValueError("trailing backslash")
+            e = s[i]
+            i += 1
+            simple = {"a": "\a", "b": "\b", "f": "\f", "n": "\n",
+                      "r": "\r", "t": "\t", "v": "\v", "\\": "\\",
+                      "'": "'", '"': '"'}
+            if e in simple:
+                out.append(simple[e])
+            elif e == "x":
+                out.append(chr(int(s[i : i + 2], 16)))
+                i += 2
+            elif e == "u":
+                out.append(chr(int(s[i : i + 4], 16)))
+                i += 4
+            elif e == "U":
+                out.append(chr(int(s[i : i + 8], 16)))
+                i += 8
+            elif e in "01234567":
+                out.append(chr(int(s[i - 1 : i + 2], 8)))
+                i += 2
+            else:
+                raise ValueError(f"bad escape \\{e}")
+        return "".join(out)
+
+    try:
+        if len(v) >= 2 and v.startswith('"') and v.endswith('"'):
+            return decode(v[1:-1])
+        return decode(v.replace('"', "\\x22"))
+    except Exception:
+        return v
+
+
 def string_replace(
     df: DataFrame,
     source: str,
-    pattern: str,
-    replacement: str,
+    pattern: str = "",
+    replacement: str = "",
     dest: str | None = None,
     method: str = "regex",  # regex | const | unquote
 ) -> DataFrame:
-    """processor_string_replace (processor_string_replace.go:41-56,143)."""
+    """processor_string_replace (processor_string_replace.go:41-56,
+    101-129): regex replace-all ($n group refs), const substring
+    replace-all, or Go strconv.Unquote escape decoding. regex/const
+    are pure JVM; unquote is an Arrow batch walk (byte-level escape
+    grammar with whole-value error fallback — inexpressible as
+    Catalyst string ops)."""
     if method == "regex":
         col = F.regexp_replace(F.col(source), pattern, replacement)
     elif method == "const":
         col = F.replace(F.col(source), F.lit(pattern), F.lit(replacement))
     elif method == "unquote":
-        col = F.regexp_replace(F.col(source), r'^"(.*)"$', "$1")
+
+        @F.pandas_udf("string")
+        def unq(s: pd.Series) -> pd.Series:
+            return s.map(_go_unquote_one)
+
+        col = unq(F.col(source))
     else:
         raise ValueError(method)
     return df.withColumn(dest or source, col)
@@ -285,11 +351,48 @@ def gotime(
     source_layout: str,
     dest: str,
     dest_layout: str,
+    source_location: int | None = None,
+    dest_location: int | None = None,
+    keep_source: bool = True,
 ) -> DataFrame:
-    """processor_gotime (processor_gotime.go:34-53,169): parse source
-    with a Go layout, re-format into dest with another Go layout."""
-    ts = F.to_timestamp(F.col(source), go_layout_to_spark(source_layout))
-    return df.withColumn(dest, F.date_format(ts, go_layout_to_spark(dest_layout)))
+    """processor_gotime (processor_gotime.go:28-53,82-95,169): parse
+    source with a Go layout — or the fixed epoch patterns
+    seconds/milliseconds/microseconds/nanoseconds — and re-format
+    into dest with another Go layout. ``source_location`` /
+    ``dest_location`` are the reference's whole-hour UTC offsets
+    (None ≙ machineTimeZone, the pinned-UTC session); the offsets are
+    ignored for the epoch patterns, which are absolute. Nanosecond
+    inputs keep their last three digits through a string graft (Spark
+    timestamps are microsecond-precision)."""
+    src = F.col(source)
+    epoch_pats = {"seconds", "milliseconds", "microseconds", "nanoseconds"}
+    nano_tail = None
+    if source_layout in epoch_pats:
+        n = src.try_cast("long")
+        ts = {
+            "seconds": F.timestamp_seconds(n),
+            "milliseconds": F.timestamp_millis(n),
+            "microseconds": F.timestamp_micros(n),
+            "nanoseconds": F.timestamp_micros(F.floor(n / 1000).cast("long")),
+        }[source_layout]
+        if source_layout == "nanoseconds":
+            nano_tail = F.substring(src, -3, 3)
+    else:
+        ts = F.to_timestamp(src, go_layout_to_spark(source_layout))
+        if source_location is not None:
+            ts = F.to_utc_timestamp(ts, f"GMT{source_location:+03d}:00")
+    if dest_location is not None:
+        ts = F.from_utc_timestamp(ts, f"GMT{dest_location:+03d}:00")
+    formatted = F.date_format(ts, go_layout_to_spark(dest_layout))
+    if nano_tail is not None and dest_layout.endswith(".000000000"):
+        formatted = F.concat(
+            F.substring(formatted, 1, F.length(formatted) - 3).cast("string"),
+            nano_tail,
+        )
+    out = df.withColumn(dest, formatted)
+    if not keep_source and source != dest:
+        out = out.drop(source)
+    return out
 
 
 def encrypt_fields(
@@ -608,7 +711,9 @@ def _replace_factory(**cfg):
     return lambda df: string_replace(
         df,
         cfg_pop(cfg, "SourceKey", "source", default="text"),
-        cfg_pop(cfg, "Regex", "pattern"),
+        # the Go param is Match (processor_string_replace.go:44);
+        # unquote needs none
+        cfg_pop(cfg, "Match", "Regex", "pattern", default=""),
         cfg_pop(cfg, "ReplaceString", "replacement", default=""),
         dest=cfg_pop(cfg, "DestKey", "dest", default=None),
         method=cfg_pop(cfg, "Method", "method", default="regex"),
@@ -617,13 +722,20 @@ def _replace_factory(**cfg):
 
 @register("processor_desensitize")
 def _desens_factory(**cfg):
+    # Match "full" masks the whole value regardless of Regex params
+    # (processor_desensitize.go Match full|regex)
+    match = str(cfg_pop(cfg, "Match", "match", default="regex")).lower()
+    begin = cfg_pop(cfg, "RegexBegin", "regex_begin", default=None)
+    content = cfg_pop(cfg, "RegexContent", "regex_content", default=None)
+    if match == "full":
+        begin = content = None
     return lambda df: desensitize(
         df,
         cfg_pop(cfg, "SourceKey", "source", default="text"),
         method=cfg_pop(cfg, "Method", "method", default="const"),
         replacement=cfg_pop(cfg, "ReplaceString", "replacement", default="********"),
-        regex_begin=cfg_pop(cfg, "RegexBegin", "regex_begin", default=None),
-        regex_content=cfg_pop(cfg, "RegexContent", "regex_content", default=None),
+        regex_begin=begin,
+        regex_content=content,
     )
 
 
@@ -680,12 +792,19 @@ def _anchor_factory(**cfg):
 
 @register("processor_gotime")
 def _gotime_factory(**cfg):
+    def loc(v):
+        # machineTimeZone sentinel -100 (processor_gotime.go:55) ≙ None
+        return None if v is None or int(v) == -100 else int(v)
+
     return lambda df: gotime(
         df,
         source=cfg.get("SourceKey", cfg.get("source")),
         source_layout=cfg.get("SourceFormat", cfg.get("source_layout")),
         dest=cfg.get("DestKey", cfg.get("dest")),
         dest_layout=cfg.get("DestFormat", cfg.get("dest_layout")),
+        source_location=loc(cfg.get("SourceLocation")),
+        dest_location=loc(cfg.get("DestLocation")),
+        keep_source=bool(cfg.get("KeepSource", True)),
     )
 
 

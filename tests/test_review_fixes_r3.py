@@ -260,3 +260,125 @@ def test_strptime_go_unittest_format_fixtures(spark):
         assert r["sec"] == exp_sec, (inp, fmt, r["sec"], exp_sec)
         assert r["precise_timestamp"] == str(exp_ms), (inp, fmt)
         assert r["time"] == inp  # KeepSource default true
+
+
+def test_desensitize_go_unittest_fixtures(spark):
+    """Replay processor_desensitize_test.go:29-230: Match full vs
+    regex, const vs md5-of-each-match, unicode begin/content."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    def run(record, **cfg):
+        base = {"type": "processor_desensitize", "SourceKey": "content",
+                "Method": "const", "Match": "regex", "ReplaceString": "***",
+                "RegexBegin": "'password':'", "RegexContent": "[^']+"}
+        t = build_pipeline([{**base, **cfg}])
+        df = spark.createDataFrame([(record,)], "content string")
+        return t(df).collect()[0]["content"]
+
+    rec = ("[{'account':'1812213231432969','password':'04a23f38'}, "
+           "{'account':'1812213685634','password':'123a'}]")
+    # Match=full: whole-value mask / whole-value md5
+    assert run(rec, Match="full") == "***"
+    assert run(rec, Match="full", Method="md5") == (
+        "700085e3968c3efb83b54ba47dd1367d")
+    # Match=regex: each region, const
+    rec3 = (rec[:-1] + ", {'account':'1812213685634',"
+            "'password':'666777888ccc']")
+    assert run(rec3) == (
+        "[{'account':'1812213231432969','password':'***'}, "
+        "{'account':'1812213685634','password':'***'}, "
+        "{'account':'1812213685634','password':'***']")
+    # Match=regex: md5 OF EACH MATCH
+    assert run(rec, Method="md5") == (
+        "[{'account':'1812213231432969',"
+        "'password':'9c525f463ba1c89d6badcd78b2b7bd79'}, "
+        "{'account':'1812213685634',"
+        "'password':'1552c03e78d38d5005d4ce7b8018addf'}]")
+    # unicode: no-match passthrough; multi-occurrence replace
+    cn = "中文电话号码有用中文电话号码有用"
+    assert run(cn, RegexBegin="码", RegexContent="XXX") == cn
+    assert run(cn, RegexBegin="号", RegexContent="码") == (
+        "中文电话号***有用中文电话号***有用")
+
+
+def test_gotime_go_unittest_fixtures(spark):
+    """Replay processor_gotime_test.go:34-177: Source/DestLocation
+    whole-hour offsets, KeepSource=false drop, and the fixed epoch
+    SourceFormats seconds/milliseconds/microseconds/nanoseconds
+    (nanos keep their digits through the string graft)."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    base = {"type": "processor_gotime", "SourceKey": "s_key",
+            "SourceFormat": "2006-01-02 15:04:05", "SourceLocation": 8,
+            "DestKey": "d_key", "DestFormat": "2006/01/02 15:04:05",
+            "DestLocation": 9, "KeepSource": True}
+
+    def run(value, **cfg):
+        t = build_pipeline([{**base, **cfg}])
+        df = spark.createDataFrame([(value,)], "s_key string")
+        return t(df).collect()[0]
+
+    # +8 source wall time re-rendered at +9 (TestSetTime's instant)
+    r = run("2019-07-05 19:28:01")
+    assert r["d_key"] == "2019/07/05 20:28:01"
+    assert r["s_key"] == "2019-07-05 19:28:01"
+    # KeepSource=false drops the source field (go test: only d_key left)
+    r = run("2019-07-05 19:28:01", KeepSource=False)
+    assert "s_key" not in r.asDict()
+    # fixed epoch patterns (offsets ignored on the source side)
+    assert run("1645595256", SourceFormat="seconds")["d_key"] == \
+        "2022/02/23 14:47:36"
+    assert run("1645595256807", SourceFormat="milliseconds",
+               DestFormat="2006/01/02 15:04:05.000")["d_key"] == \
+        "2022/02/23 14:47:36.807"
+    assert run("1645595256807000", SourceFormat="microseconds",
+               DestFormat="2006/01/02 15:04:05.000000")["d_key"] == \
+        "2022/02/23 14:47:36.807000"
+    assert run("1645595256807000123", SourceFormat="nanoseconds",
+               DestFormat="2006/01/02 15:04:05.000000000")["d_key"] == \
+        "2022/02/23 14:47:36.807000123"
+
+
+def test_string_replace_go_unittest_fixtures(spark):
+    """Replay processor_string_replace_test.go:71-240: regex
+    replace-all with $n groups and lookbehind, const replace-all,
+    and strconv.Unquote escape decoding (\\x22 / \\u554a, quote
+    stripping, invalid-escape whole-value fallback)."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    def run(value, **cfg):
+        t = build_pipeline([{"type": "processor_string_replace",
+                             "SourceKey": "content", **cfg}])
+        df = spark.createDataFrame([(value,)], "content string")
+        return t(df).collect()[0]["content"]
+
+    # regex: strip ANSI color escapes + N/A
+    rec = (r"2022-09-16 09:03:31.013 \u001b[32mINFO \u001b[0;39m "
+           r"\u001b[34m[TID: N/A]\u001b[0;39m [\u001b[35mThread-30\u001b[0;39m] "
+           r"\u001b[36mc.s.govern.polygonsync.job.BlockTask\u001b[0;39m "
+           ": 区块采集------结束------\r")
+    assert run(rec, Method="regex",
+               Match=r"\\u\w+\[\d{1,3};*\d{1,3}m|N/A") == (
+        "2022-09-16 09:03:31.013 INFO  [TID: ] [Thread-30] "
+        "c.s.govern.polygonsync.job.BlockTask : 区块采集------结束------\r")
+    # regex with $1 group ref
+    assert run("10.10.239.16", Method="regex",
+               Match=r"(\d.*\.)\d+", ReplaceString="$1*/24") == "10.10.239.*/24"
+    # regex replace-ALL occurrences
+    assert run("10.10.239.16 10.10.238.10 ", Method="regex",
+               Match=r".\d ", ReplaceString="0/24 ") == (
+        "10.10.239.0/24 10.10.238.0/24 ")
+    # lookbehind phone-mask pattern: no match -> unchanged
+    attr = '{"requestParams":"{\\"userId\\":\\"666666\\"}"}'
+    assert run(attr, Method="regex",
+               Match=(r"(?<!(\d|\w))(13[0-9]|15[0-35-9])(\d{4})(\d{4})"
+                      r"(?!(\d|\w))"),
+               ReplaceString="$2****$4") == attr
+    # const replace-all
+    assert run("hello,how old are you? nice to meet you", Method="const",
+               Match="how old are you?") == "hello, nice to meet you"
+    # unquote
+    assert run(r"{\x22UID\x22:\x2212345678\x22,\x22page_num\x22:1}",
+               Method="unquote") == '{"UID":"12345678","page_num":1}'
+    assert run('aaa"\\u554a', Method="unquote") == 'aaa"啊'
+    assert run('"message"', Method="unquote") == "message"
