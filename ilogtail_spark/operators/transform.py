@@ -269,19 +269,75 @@ def base64_decode(df: DataFrame, source: str, dest: str | None = None) -> DataFr
     return df.withColumn(dest or source, F.unbase64(F.col(source)).cast("string"))
 
 
-def pack_json(df: DataFrame, keys: list[str], dest: str) -> DataFrame:
-    """processor_packjson (processor_packjson.go:26-33,96)."""
-    return df.withColumn(dest, F.to_json(F.struct(*[F.col(k) for k in keys])))
+def pack_json(
+    df: DataFrame, keys: list[str], dest: str, keep_source: bool = True
+) -> DataFrame:
+    """processor_packjson (processor_packjson.go:26-33,96):
+    KeepSource=false removes the packed source fields."""
+    out = df.withColumn(dest, F.to_json(F.struct(*[F.col(k) for k in keys])))
+    if not keep_source:
+        out = out.drop(*[k for k in keys if k != dest])
+    return out
 
 
-def appender(df: DataFrame, fields: dict[str, str]) -> DataFrame:
-    """processor_appender (processor_appender.go:31-45,194) — append to
-    existing value (concat) rather than overwrite."""
+_APPENDER_TPL = None  # compiled lazily
+
+
+def expand_appender_value(value: str, cloud_meta: bool = False) -> str:
+    """ParseVariableValue (processor_appender.go:108-147): ``{{$NAME}}``
+    reads the environment, ``{{__ip__}}``/``{{__host__}}`` the local
+    address/hostname, cloud flags the platformmeta mock when a
+    manager platform is configured, anything else stays the literal
+    key. Resolved DRIVER-side once per job — the agent resolves once
+    per host; on a cluster the driver is the job's "agent"."""
+    import os
+    import re
+    import socket
+
+    global _APPENDER_TPL
+    if _APPENDER_TPL is None:
+        _APPENDER_TPL = re.compile(r"\{\{([^}]+)\}\}")
+
+    def sub(m: "re.Match") -> str:
+        key = m.group(1)
+        if key.startswith("$"):
+            return os.environ.get(key[1:], "")
+        if key == "__ip__":
+            try:
+                return socket.gethostbyname(socket.gethostname())
+            except OSError:
+                return "127.0.0.1"
+        if key == "__host__":
+            return socket.gethostname()
+        if cloud_meta and key in MOCK_CLOUD_META:
+            return MOCK_CLOUD_META[key]
+        return key
+
+    return _APPENDER_TPL.sub(sub, value)
+
+
+def appender(
+    df: DataFrame, fields: dict[str, str], sort_labels: bool = False
+) -> DataFrame:
+    """processor_appender (processor_appender.go:31-45,85-105) —
+    append to the existing value (concat) rather than overwrite.
+    ``sort_labels`` reproduces SortLabels: the appended value splits
+    on ``|``, only ``k#$#v`` pairs survive, sorted by label."""
     for k, v in fields.items():
         if k in df.columns:
-            df = df.withColumn(k, F.concat(F.coalesce(F.col(k), F.lit("")), F.lit(v)))
+            col = F.concat(F.coalesce(F.col(k), F.lit("")), F.lit(v))
         else:
-            df = df.withColumn(k, F.lit(v))
+            col = F.lit(v)
+        if sort_labels:
+            col = F.array_join(
+                F.array_sort(
+                    F.filter(
+                        F.split(col, r"\|"), lambda x: x.contains("#$#")
+                    )
+                ),
+                "|",
+            )
+        df = df.withColumn(k, col)
     return df
 
 
@@ -759,13 +815,29 @@ def _b64d_factory(**cfg):
 @register("processor_packjson")
 def _pack_factory(**cfg):
     return lambda df: pack_json(
-        df, cfg_pop(cfg, "SourceKeys", "keys"), cfg_pop(cfg, "DestKey", "dest")
+        df,
+        cfg_pop(cfg, "SourceKeys", "keys"),
+        cfg_pop(cfg, "DestKey", "dest"),
+        keep_source=bool(cfg_pop(cfg, "KeepSource", "keep_source", default=True)),
     )
 
 
 @register("processor_appender")
 def _appender_factory(**cfg):
-    return lambda df: appender(df, cfg_pop(cfg, "Fields", "fields"))
+    # the Go plugin takes a single Key/Value with {{}} templates
+    # (processor_appender.go:32-34); Fields stays as the multi-key form
+    key = cfg_pop(cfg, "Key", default=None)
+    cloud = cfg_pop(cfg, "Platform", default=None) is not None
+    sort_labels = bool(cfg_pop(cfg, "SortLabels", default=False))
+    if key is not None:
+        value = expand_appender_value(cfg_pop(cfg, "Value"), cloud_meta=cloud)
+        fields = {key: value}
+    else:
+        fields = {
+            k: expand_appender_value(v, cloud_meta=cloud)
+            for k, v in cfg_pop(cfg, "Fields", "fields").items()
+        }
+    return lambda df: appender(df, fields, sort_labels=sort_labels)
 
 
 @register("processor_tag_native")

@@ -382,3 +382,60 @@ def test_string_replace_go_unittest_fixtures(spark):
                Method="unquote") == '{"UID":"12345678","page_num":1}'
     assert run('aaa"\\u554a', Method="unquote") == 'aaa"啊'
     assert run('"message"', Method="unquote") == "message"
+
+
+def test_appender_go_unittest_fixtures(spark, monkeypatch):
+    """Replay processor_appender_test.go:41-61,63-80: {{$env}} /
+    {{__host__}} / {{__ip__}} templates, literal fallthrough for
+    unresolvable cloud flags, SortLabels pair filtering + ordering,
+    and cloud-flag resolution via the platformmeta mock."""
+    import socket
+
+    from ilogtail_spark.plans.pipeline import build_pipeline
+    from ilogtail_spark.operators.transform import MOCK_CLOUD_META
+
+    monkeypatch.setenv("my", "xxx")
+    host = socket.gethostname()
+    try:
+        ip = socket.gethostbyname(socket.gethostname())
+    except OSError:
+        ip = "127.0.0.1"
+
+    value = "|host#$#{{__host__}}|ip#$#{{__ip__}}|env:{{$my}}|switch#$#{{__cloud_image_id__}}"
+    t = build_pipeline([{"type": "processor_appender", "Key": "a",
+                         "Value": value}])
+    df = spark.createDataFrame([("seed",)], "a string")
+    got = t(df).collect()[0]["a"]
+    assert got == (
+        f"seed|host#$#{host}|ip#$#{ip}|env:xxx|switch#$#__cloud_image_id__")
+
+    # SortLabels: only k#$#v pairs survive, sorted by label
+    t2 = build_pipeline([{"type": "processor_appender", "Key": "a",
+                          "Value": value, "SortLabels": True}])
+    got2 = t2(spark.createDataFrame([("",)], "a string")).collect()[0]["a"]
+    assert got2 == (
+        f"host#$#{host}|ip#$#{ip}|switch#$#__cloud_image_id__")
+
+    # Platform set -> cloud flags resolve via the platformmeta mock
+    t3 = build_pipeline([{"type": "processor_appender", "Key": "a",
+                          "Platform": "mock",
+                          "Value": "|img#$#{{__cloud_image_id__}}"}])
+    got3 = t3(spark.createDataFrame([("x",)], "a string")).collect()[0]["a"]
+    assert got3 == "x|img#$#" + MOCK_CLOUD_META["__cloud_image_id__"]
+
+
+def test_packjson_keep_source_false(spark):
+    """processor_packjson_test.go:45-69: pack into DestKey; KeepSource
+    false drops the packed sources."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    df = spark.createDataFrame([("1", "2")], "a string, b string")
+    t = build_pipeline([{"type": "processor_packjson",
+                         "SourceKeys": ["a", "b"], "DestKey": "d_key"}])
+    r = t(df).collect()[0]
+    assert r["d_key"] == '{"a":"1","b":"2"}' and r["a"] == "1"
+    t2 = build_pipeline([{"type": "processor_packjson",
+                          "SourceKeys": ["a", "b"], "DestKey": "d_key",
+                          "KeepSource": False}])
+    r2 = t2(df).collect()[0].asDict()
+    assert r2 == {"d_key": '{"a":"1","b":"2"}'}
