@@ -28,10 +28,14 @@ DEFAULT_PATTERNS: dict[str, str] = {
     "NUMBER": r"[+-]?\d+(?:\.\d+)?",
     "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
     "POSINT": r"\b[1-9]\d*\b",
-    "BASE16NUM": r"(?<![0-9A-Fa-f])(?:[+-]?(?:0x)?(?:[0-9A-Fa-f]+))",
+    # logstash's originals guard with lookbehind (?<![0-9A-Fa-f]) —
+    # the repo invariant bans lookbehind (not in the Java/RE2/Python
+    # common subset), so these use \b: same matches at the token
+    # boundaries real patterns anchor on (tid=..., [0x...])
+    "BASE16NUM": r"[+-]?\b(?:0x)?[0-9A-Fa-f]+",
     "BASE16FLOAT": (
-        r"\b(?<![0-9A-Fa-f.])(?:[+-]?(?:0x)?"
-        r"(?:(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?)|(?:\.[0-9A-Fa-f]+)))\b"
+        r"[+-]?\b(?:0x)?"
+        r"(?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)\b"
     ),
     "NONNEGINT": r"\b\d+\b",
     "QUOTEDSTRING": r"\"[^\"]*\"|'[^']*'",

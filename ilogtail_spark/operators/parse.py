@@ -1231,11 +1231,12 @@ def _ts_factory(**cfg):
         had_zone = "%z" in fmt or "%Z" in fmt
         fmt = strptime_to_jdk(fmt)
         if not had_zone:
-            # the Go strptime lib tolerates a trailing zone designator
-            # the format does not mention ("...47:123Z" with a Z-less
-            # Format, strptime_test.go:126-131); JDK demands full
-            # consumption — an OPTIONAL offset section absorbs it
-            fmt += "[XXX]"
+            # the Go strptime lib TOLERATES (does not honor) a
+            # trailing Z the format does not mention ("...47:123Z"
+            # with a Z-less Format, strptime_test.go:126-131); JDK
+            # demands full consumption — an optional LITERAL 'Z'
+            # absorbs it without shifting the instant
+            fmt += "['Z']"
     tz = cfg_pop(cfg, "SourceTimezone", "source_tz", default=None)
     dest = cfg_pop(cfg, "dest", default="ts")
     keep = bool(cfg_pop(cfg, "KeepSource", "keep_source", default=True))
@@ -1247,16 +1248,12 @@ def _ts_factory(**cfg):
 
         src = resolve_key(df, source)
         if epoch:
-            # %s accepts second, MILLI and MICRO epochs by digit count
-            # and truncates all of them to SECONDS — strptime_test.go:
-            # 113-120 expects the same second AND the same (whole-
-            # second) precise_timestamp for all three widths
-            n = src.try_cast("long")
-            sec = (
-                F.when(F.length(src) > 15, F.floor(n / 1_000_000))
-                .when(F.length(src) > 12, F.floor(n / 1_000))
-                .otherwise(n)
-            ).cast("long")
+            # %s: the Go plugin takes the FIRST 10 CHARACTERS as the
+            # epoch seconds (strptime.go value[0:10]) — that is how
+            # milli/micro inputs collapse to the same second
+            # (strptime_test.go:113-120), and how an 11- or 12-digit
+            # value parses too
+            sec = F.substring(src, 1, 10).try_cast("long")
             out = df.withColumn(dest, F.timestamp_seconds(sec))
         else:
             out = parse_timestamp(df, src, fmt, dest=dest, source_tz=tz)

@@ -141,22 +141,48 @@ def _go_unquote_one(v: str | None) -> str | None:
                 raise ValueError("trailing backslash")
             e = s[i]
             i += 1
+            # NOTE: no \' here — strconv.unquoteChar rejects \' inside
+            # a double-quoted string
             simple = {"a": "\a", "b": "\b", "f": "\f", "n": "\n",
                       "r": "\r", "t": "\t", "v": "\v", "\\": "\\",
-                      "'": "'", '"': '"'}
+                      '"': '"'}
+
+            def hexval(width: int) -> int:
+                h = s[i : i + width]
+                if len(h) != width or any(
+                    c not in "0123456789abcdefABCDEF" for c in h
+                ):
+                    raise ValueError(f"bad hex escape \\{e}{h}")
+                return int(h, 16)
+
+            def cp(v: int) -> str:
+                # Go maps surrogate halves to U+FFFD without error —
+                # a lone surrogate would also crash Arrow's UTF-8
+                # conversion executor-side
+                return "�" if 0xD800 <= v <= 0xDFFF else chr(v)
+
             if e in simple:
                 out.append(simple[e])
             elif e == "x":
-                out.append(chr(int(s[i : i + 2], 16)))
+                out.append(cp(hexval(2)))
                 i += 2
             elif e == "u":
-                out.append(chr(int(s[i : i + 4], 16)))
+                out.append(cp(hexval(4)))
                 i += 4
             elif e == "U":
-                out.append(chr(int(s[i : i + 8], 16)))
+                v = hexval(8)
+                if v > 0x10FFFF:
+                    raise ValueError("rune out of range")
+                out.append(cp(v))
                 i += 8
             elif e in "01234567":
-                out.append(chr(int(s[i - 1 : i + 2], 8)))
+                o = s[i - 1 : i + 2]
+                if len(o) != 3 or any(c not in "01234567" for c in o):
+                    raise ValueError("bad octal escape")
+                v = int(o, 8)
+                if v > 0o377:
+                    raise ValueError("octal out of range")
+                out.append(chr(v))
                 i += 2
             else:
                 raise ValueError(f"bad escape \\{e}")
@@ -329,14 +355,20 @@ def appender(
         else:
             col = F.lit(v)
         if sort_labels:
-            col = F.array_join(
-                F.array_sort(
-                    F.filter(
-                        F.split(col, r"\|"), lambda x: x.contains("#$#")
-                    )
-                ),
-                "|",
-            )
+            pairs = F.filter(F.split(col, r"\|"), lambda x: x.contains("#$#"))
+
+            def by_label(left: "F.Column", right: "F.Column") -> "F.Column":
+                # MetricLabels.Less compares label NAMES, not whole
+                # k#$#v strings (log_helper.go)
+                lk = F.substring_index(left, "#$#", 1)
+                rk = F.substring_index(right, "#$#", 1)
+                return F.when(lk < rk, -1).when(lk > rk, 1).otherwise(0)
+
+            # keyValue.Len() > 0 guard: a value with NO pairs keeps
+            # the plain concat, it is not wiped to ""
+            col = F.when(
+                F.size(pairs) > 0, F.array_join(F.array_sort(pairs, by_label), "|")
+            ).otherwise(col)
         df = df.withColumn(k, col)
     return df
 
@@ -429,7 +461,11 @@ def gotime(
             "seconds": F.timestamp_seconds(n),
             "milliseconds": F.timestamp_millis(n),
             "microseconds": F.timestamp_micros(n),
-            "nanoseconds": F.timestamp_micros(F.floor(n / 1000).cast("long")),
+            # decimal division: double's 2^53 exact range is exceeded
+            # by nano epochs (~1.6e18) — n/1000.0 can be off by 1us
+            "nanoseconds": F.timestamp_micros(
+                F.floor(n.cast("decimal(38,0)") / 1000).cast("long")
+            ),
         }[source_layout]
         if source_layout == "nanoseconds":
             nano_tail = F.substring(src, -3, 3)
@@ -764,23 +800,31 @@ def _pick_factory(**cfg):
 
 @register("processor_string_replace")
 def _replace_factory(**cfg):
+    # the Go param is Match (processor_string_replace.go:44); only
+    # unquote runs without one — Init errors on a missing/empty Match
+    # for const and a zero-width regex would corrupt every value
+    method = cfg_pop(cfg, "Method", "method", default="regex")
+    pattern = cfg_pop(cfg, "Match", "Regex", "pattern", default="")
+    if method != "unquote" and not pattern:
+        raise ValueError("processor_string_replace: Match is required")
     return lambda df: string_replace(
         df,
         cfg_pop(cfg, "SourceKey", "source", default="text"),
-        # the Go param is Match (processor_string_replace.go:44);
-        # unquote needs none
-        cfg_pop(cfg, "Match", "Regex", "pattern", default=""),
+        pattern,
         cfg_pop(cfg, "ReplaceString", "replacement", default=""),
         dest=cfg_pop(cfg, "DestKey", "dest", default=None),
-        method=cfg_pop(cfg, "Method", "method", default="regex"),
+        method=method,
     )
 
 
 @register("processor_desensitize")
 def _desens_factory(**cfg):
-    # Match "full" masks the whole value regardless of Regex params
-    # (processor_desensitize.go Match full|regex)
-    match = str(cfg_pop(cfg, "Match", "match", default="regex")).lower()
+    # the Go init DEFAULT is Match "full" (whole-value mask); "regex"
+    # masks begin+content regions; anything else is a config error
+    # (processor_desensitize.go init/Init)
+    match = str(cfg_pop(cfg, "Match", "match", default="full")).lower()
+    if match not in ("full", "regex"):
+        raise ValueError(f"processor_desensitize: bad Match {match!r}")
     begin = cfg_pop(cfg, "RegexBegin", "regex_begin", default=None)
     content = cfg_pop(cfg, "RegexContent", "regex_content", default=None)
     if match == "full":

@@ -41,6 +41,34 @@ def streaming_transcripts(
     )
 
 
+def _foreach_batch_writer(
+    stream: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    sink_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    watermark: str | None,
+    trigger_seconds: int | None,
+):
+    """Shared scaffolding: watermark (≙ late-data policy) →
+    foreachBatch(transform) → checkpointed update-mode writer with
+    trigger≙flush-interval (availableNow when unset)."""
+    withwm = stream.withWatermark("ts", watermark) if watermark else stream
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sink_fn(transform(batch_df), epoch_id)
+
+    writer = (
+        withwm.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
 def build_streaming_query(
     stream: DataFrame,
     spark: SparkSession,
@@ -53,24 +81,16 @@ def build_streaming_query(
     """parse → enrich → route inside foreachBatch, with a watermark
     standing in for processor_timestamp_filter_native's late-data
     policy."""
-    withwm = stream.withWatermark("ts", watermark)
 
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+    def transform(batch_df: DataFrame) -> DataFrame:
         routed = route_stage(
             enrich_stage(parse_stage(batch_df, engine=engine), spark)
         )
-        sink_fn(routed.sortWithinPartitions("conv_id", "turn_idx"), epoch_id)
+        return routed.sortWithinPartitions("conv_id", "turn_idx")
 
-    writer = (
-        withwm.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _foreach_batch_writer(
+        stream, transform, sink_fn, checkpoint_dir, watermark, trigger_seconds
     )
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer
 
 
 def windowed_stream_agg(
@@ -278,18 +298,6 @@ def build_streaming_query_from_config(
     from ilogtail_spark.plans.pipeline import pipeline_from_yaml
 
     transform, _flushers = pipeline_from_yaml(config_yaml)
-    withwm = stream.withWatermark("ts", watermark) if watermark else stream
-
-    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        sink_fn(transform(batch_df), epoch_id)
-
-    writer = (
-        withwm.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+    return _foreach_batch_writer(
+        stream, transform, sink_fn, checkpoint_dir, watermark, trigger_seconds
     )
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer

@@ -439,3 +439,81 @@ def test_packjson_keep_source_false(spark):
                           "KeepSource": False}])
     r2 = t2(df).collect()[0].asDict()
     assert r2 == {"d_key": '{"a":"1","b":"2"}'}
+
+
+def test_unquote_strictness_and_surrogates(spark):
+    """Second-review fixes: lone \\u surrogates map to U+FFFD (Go
+    behavior; a raw surrogate would crash Arrow), malformed escapes
+    keep the WHOLE value unchanged (strconv error fallback)."""
+    from ilogtail_spark.operators.transform import _go_unquote_one
+
+    assert _go_unquote_one("msg=\\ud83d\\ude00") == "msg=��"
+    for bad in ("end\\x2", "a\\x+5b", "oct\\7", "big\\777", "q\\'x"):
+        assert _go_unquote_one(bad) == bad
+    # and through the full Spark path (Arrow boundary survives)
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    t = build_pipeline([{"type": "processor_string_replace",
+                         "SourceKey": "content", "Method": "unquote"}])
+    df = spark.createDataFrame([("msg=\\ud83d",)], "content string")
+    assert t(df).collect()[0]["content"] == "msg=�"
+
+
+def test_appender_sort_labels_no_pairs_keeps_value(spark):
+    """log_helper keyValue.Len()>0 guard: SortLabels with no k#$#v
+    pairs leaves the concatenated value intact."""
+    from ilogtail_spark.operators.transform import appender
+
+    df = spark.createDataFrame([("x",)], "a string")
+    out = appender(df, {"a": "greeting"}, sort_labels=True)
+    assert out.collect()[0]["a"] == "xgreeting"
+
+
+def test_string_replace_requires_match(spark):
+    import pytest as _pytest
+
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    with _pytest.raises(ValueError):
+        build_pipeline([{"type": "processor_string_replace",
+                         "SourceKey": "content", "Method": "regex"}])
+
+
+def test_desensitize_default_match_is_full(spark):
+    """processor_desensitize.go init: Match defaults 'full' — a config
+    omitting Match masks the WHOLE value."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    t = build_pipeline([{"type": "processor_desensitize",
+                         "SourceKey": "content", "ReplaceString": "***",
+                         "RegexBegin": "pw=", "RegexContent": r"\w+"}])
+    df = spark.createDataFrame([("secret pw=abc",)], "content string")
+    assert t(df).collect()[0]["content"] == "***"
+
+
+def test_strptime_epoch_first_ten_chars(spark):
+    """strptime.go %s takes value[0:10]: an 11- or 12-digit epoch
+    parses by its first ten digits, not as whole-value seconds."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    t = build_pipeline([{"type": "processor_strptime", "SourceKey": "time",
+                         "Format": "%s"}])
+    df = spark.createDataFrame([("999999999999",)], "time string")
+    r = t(df).selectExpr("unix_seconds(cast(ts as timestamp)) s").collect()[0]
+    assert r["s"] == 9999999999
+
+
+def test_strptime_trailing_offset_not_honored(spark):
+    """The trailing-designator tolerance absorbs only a literal 'Z';
+    a non-Z trailing offset is a parse FAILURE (null), never a
+    silently shifted instant."""
+    from ilogtail_spark.plans.pipeline import build_pipeline
+
+    t = build_pipeline([{"type": "processor_strptime", "SourceKey": "time",
+                         "Format": "%Y-%m-%dT%H:%M:%S"}])
+    df = spark.createDataFrame(
+        [("2019-07-15T04:16:47+07:00",), ("2019-07-15T04:16:47Z",)],
+        "time string")
+    rows = {r["time"]: r["ts"] for r in t(df).collect()}
+    assert rows["2019-07-15T04:16:47+07:00"] is None
+    assert rows["2019-07-15T04:16:47Z"] is not None
