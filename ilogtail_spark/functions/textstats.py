@@ -189,21 +189,35 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     is then a plain Catalyst predicate over these columns.
     """
     c = F.lower(F.trim(F.col(text_col)))
-    words = F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
-        F.split(c, r"\s+")
-    )
-    nw = F.size(words)
-    grams = F.when(
-        nw >= 2,
-        F.transform(
-            F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
-            lambda w, i: F.concat(w, F.lit(" "), F.try_element_at(words, i + 2)),
+    # materialize the shared token arrays in their own projections —
+    # each signal references them several times and an inlined split
+    # would be re-evaluated per reference (the expression-blowup trap)
+    wc, gc = "_rep_words", "_rep_grams"
+    out = df.withColumn(
+        wc,
+        F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+            F.split(c, r"\s+")
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    )
+    words = F.col(wc)
+    nw = F.size(words)
+    out = out.withColumn(
+        gc,
+        F.when(
+            nw >= 2,
+            F.transform(
+                F.slice(words, 1, F.greatest(nw - 1, F.lit(0))),
+                lambda w, i: F.concat(
+                    w, F.lit(" "), F.try_element_at(words, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = F.col(gc)
     chars = F.length(F.regexp_replace(c, r"\s+", ""))
     top_w = _top_run(words)
     top_g = _top_run(grams)
-    return df.withColumns(
+    return out.withColumns(
         {
             "dup_word_frac": F.when(
                 nw > 0,
@@ -219,4 +233,4 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 / chars,
             ).otherwise(F.lit(0.0)),
         }
-    )
+    ).drop(wc, gc)

@@ -115,14 +115,14 @@ def parse_regex(
         ngroups = _re.compile(pattern).groups
     except _re.error:
         ngroups = None
-    if ngroups is not None and ngroups < len(fields):
+    always_fail = ngroups is not None and ngroups < len(fields)
+    if always_fail:
         ok = F.lit(False)
     else:
         ok = F.col(source).isNotNull() & F.col(source).rlike(pat)
     # struct-materialized like parse_dissect: keeps the rlike from
     # being re-inlined into every extracted column downstream
     struct_fields = [ok.alias("__ok")]
-    always_fail = ngroups is not None and ngroups < len(fields)
     for i, name in enumerate(fields):
         if always_fail:
             # regexp_extract validates the group index at analysis —

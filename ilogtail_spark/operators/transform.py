@@ -10,6 +10,8 @@ keeps its dict in memory per worker
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -306,7 +308,7 @@ def pack_json(
     return out
 
 
-_APPENDER_TPL = None  # compiled lazily
+_APPENDER_TPL = re.compile(r"\{\{([^}]+)\}\}")
 
 
 def expand_appender_value(value: str, cloud_meta: bool = False) -> str:
@@ -317,14 +319,9 @@ def expand_appender_value(value: str, cloud_meta: bool = False) -> str:
     key. Resolved DRIVER-side once per job — the agent resolves once
     per host; on a cluster the driver is the job's "agent"."""
     import os
-    import re
     import socket
 
-    global _APPENDER_TPL
-    if _APPENDER_TPL is None:
-        _APPENDER_TPL = re.compile(r"\{\{([^}]+)\}\}")
-
-    def sub(m: "re.Match") -> str:
+    def sub(m) -> str:
         key = m.group(1)
         if key.startswith("$"):
             return os.environ.get(key[1:], "")
