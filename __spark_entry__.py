@@ -1211,6 +1211,30 @@ def _q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN index-quality evaluation — recall@10 of the IVF index
+    against exact brute force, per query: the measurement loop a
+    training-data pipeline runs before trusting an approximate index
+    at corpus scale. Both sides are deterministic (q26/q50), so the
+    recall itself has an EXACT oracle. The eval join touches only the
+    two top-k result sets (k × queries rows) — negligible next to
+    the index scans themselves."""
+    from ilogtail_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    truth = brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, q, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_truth"),
+        F.count("_hit").alias("n_hits"),
+        (F.count("_hit") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
 def _q_geoip_config(spark: SparkSession, sf: str) -> DataFrame:
     """processor_geoip + processor_cloud_meta through the config-driven
     registry (processor_geoip.go:35-53 with a CSV range table standing
@@ -1794,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_split_log_regex": _q_split_log_regex,
         "q73_yaml_pipeline": _q_yaml_pipeline,
         "q74_repetition_stats": _q_repetition_stats,
+        "q75_ann_recall": _q_ann_recall,
     }
 
 
@@ -1984,6 +2009,21 @@ _GROK_PAT2 = (
 )
 
 
+_Q26_SQL = """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                       FROM embeddings),
+                 s AS (SELECT query_id, neighbor_id,
+                              round(list_dot_product(qv, cv)
+                                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
+                       FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+                       FROM s)
+            SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
+            FROM r WHERE rn <= 10"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_transcripts": TRANSCRIPTS_CTE
@@ -2105,19 +2145,7 @@ def oracle_sql() -> dict[str, str]:
            ORDER BY jaccard DESC, id_a, id_b LIMIT 20""",
         "q24_simhash": _simhash_oracle(),
         "q25_doc_stats": _doc_stats_oracle(),
-        "q26_ann_topk": """
-            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                       FROM embeddings WHERE vec_id < 5),
-                 c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
-                       FROM embeddings),
-                 s AS (SELECT query_id, neighbor_id,
-                              round(list_dot_product(qv, cv)
-                                    / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cos
-                       FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
-                 r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-                       FROM s)
-            SELECT query_id, neighbor_id, cos, CAST(rn AS INTEGER) AS rank
-            FROM r WHERE rn <= 10""",
+        "q26_ann_topk": _Q26_SQL,
         # q27/q28/q50: deterministic LSH/IVF — exact oracles with
         # inlined constants and left-assoc double sums.
         # q29: the decode STUB's deterministic fake features are
@@ -2913,4 +2941,16 @@ def oracle_sql() -> dict[str, str]:
            FROM stats s
            LEFT JOIN topw tw USING (doc_id)
            LEFT JOIN topg tg USING (doc_id)""",
+        # recall@10: exact truth (q26 oracle) vs the deterministic IVF
+        # probe (q50 oracle builder), composed as subqueries — the
+        # count of approx rows matching truth rows per query
+        "q75_ann_recall": f"""
+           SELECT t.query_id,
+                  CAST(count(*) AS BIGINT) AS n_truth,
+                  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+                  count(a.neighbor_id)::DOUBLE / count(*) AS recall
+           FROM ({_Q26_SQL}) t
+           LEFT JOIN ({_ann_ivf_oracle()}) a
+             ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+           GROUP BY t.query_id""",
     }
