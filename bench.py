@@ -54,20 +54,21 @@ def run_queries(sf_dir: str, cores: int) -> dict:
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers once so q01 isn't charged for JIT
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    first_pass: dict[str, float] = {}
+    # shared host with ~4x tail noise (BASELINE.md): every query runs
+    # twice and the MIN is reported — uniformly, so no per-query
+    # sampling asymmetry biases round-over-round comparisons. Both
+    # passes are recorded ("queries" = best, "queries_first" = pass 1).
     for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        _force(df)
-        elapsed = time.perf_counter() - t0
-        if elapsed > 2.0:
-            # shared host with ~4x tail noise (BASELINE.md): a single
-            # slow pass usually measured a neighbour, not the query —
-            # re-run once and keep the min (bounded: heavy tail only)
-            t1 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            elapsed = min(elapsed, time.perf_counter() - t1)
-        timings[name] = round(elapsed, 4)
-    return timings
+        _force(fn(spark, sf_dir))
+        e1 = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        e2 = time.perf_counter() - t1
+        first_pass[name] = round(e1, 4)
+        timings[name] = round(min(e1, e2), 4)
+    return timings, first_pass
 
 
 def flagship_throughput(spark, sf_dir: str, replicate: int) -> tuple[float, int]:
@@ -155,16 +156,17 @@ def main() -> None:
 
     from ilogtail_spark.session import get_spark
 
-    timings = run_queries(sf_dir, cores)
+    timings, first_pass = run_queries(sf_dir, cores)
     spark = get_spark("bench", cores=cores)
     pipe_sec, n_turns = flagship_throughput(spark, sf_dir, replicate=1)
     timings["flagship_pipeline"] = round(pipe_sec, 4)
     total = round(sum(timings.values()), 4)
     result = {
-        "metric": "end-to-end parse→enrich→route→aggregate + operator suite wall time",
+        "metric": "end-to-end parse→enrich→route→aggregate + operator suite wall time (min-of-2 per query)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_first_pass": first_pass,
         "sf": sf,
         "cores": cores,
         "flagship_turns": n_turns,

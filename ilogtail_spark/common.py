@@ -108,6 +108,21 @@ def fmt_tokens_to_jdk(fmt: str, token_map: dict[str, str], dialect: str) -> str:
     return "".join(out)
 
 
+def fmt_has_tokens(fmt: str, tokens: set[str]) -> bool:
+    """True iff the %-format actually CONTAINS one of ``tokens`` as a
+    token — walking %-pairs the same way fmt_tokens_to_jdk does, so an
+    escaped percent ('%%z' = literal '%z') is not misread as %z."""
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            if fmt[i + 1] in tokens:
+                return True
+            i += 2  # consumes '%%' (and any other token) as a pair
+        else:
+            i += 1
+    return False
+
+
 # C strptime tokens (strptime.go:41-49 "Format follows rules of C
 # strptime") -> JDK. %M is MINUTES here (MySQL's %M is month name —
 # different dialect, different map).

@@ -43,7 +43,16 @@ def pack_sequences(
     ``tokens_col`` is the row's token length."""
     if budget <= 0:
         raise ValueError("pack_sequences: budget must be positive")
-    shard = (F.col(order_col) / F.lit(shard_span)).cast("long").alias("_shard")
+    # exact integer FLOOR division (decimal, not double: double-divide
+    # loses precision above 2^53, and cast('long') truncates toward
+    # zero so negative keys would collapse shards -x and +x into shard
+    # 0, breaking the "shard id rises with the order key" invariant
+    # that preserves concatenation order)
+    shard = (
+        F.floor(F.col(order_col).cast("decimal(38,0)") / F.lit(shard_span))
+        .cast("long")
+        .alias("_shard")
+    )
     x = df.withColumn("_shard", shard)
     w_in = (
         Window.partitionBy(stream_col, "_shard")

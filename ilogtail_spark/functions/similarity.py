@@ -87,16 +87,26 @@ def lsh_sign_bucket(
     vec_col: str = "embedding",
     num_planes: int = 12,
     bucket_col: str = "bucket",
+    dim: int | None = None,
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket id = sign bits of projections
     onto ``num_planes`` deterministic hyperplanes. Near-identical
     vectors land in the same bucket w.h.p.; candidate generation then
-    joins on the bucket (uniform shuffle key)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    joins on the bucket (uniform shuffle key).
+
+    ``dim`` is the embedding dimensionality — pass it explicitly
+    (callers know their schema); the ``.first()`` probe is only a
+    FALLBACK because it submits an extra Spark job (and reads row 1 of
+    a 100 TB table to learn a constant). ``plane_offset`` selects an
+    independent plane set, so banded callers can derive B disjoint
+    signatures from the same deterministic family."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = first["d"] if first else 0
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
         bucket = bucket + F.when(dot(F.col(vec_col), plane) > 0, F.lit(2**p)).otherwise(
             F.lit(0)
         )
@@ -110,15 +120,16 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only within the query's LSH bucket.
     (IVF-style: planes ≙ a hash-space coarse quantizer.) Recall < 1 by
     design — the scale path when the query set itself is huge and
     broadcast no longer applies."""
-    cb = lsh_sign_bucket(corpus, vec_col, num_planes).select(
+    cb = lsh_sign_bucket(corpus, vec_col, num_planes, dim=dim).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )
-    qb = lsh_sign_bucket(queries, vec_col, num_planes).select(
+    qb = lsh_sign_bucket(queries, vec_col, num_planes, dim=dim).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
     scored = cb.join(qb, "bucket").filter(F.col("neighbor_id") != F.col("query_id"))
@@ -225,23 +236,63 @@ def embedding_neardup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_planes: int = 8,
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucket self-join:
-    only same-bucket pairs are scored. Output (id_a, id_b, cos)."""
-    b = lsh_sign_bucket(df, vec_col, num_planes).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+    """Embedding-cosine near-duplicate pairs, MinHash-LSH shape
+    (dedup.minhash_lsh_pairs): ``bands`` INDEPENDENT sign signatures of
+    ``num_planes`` hyperplanes each; a pair colliding in ANY band is a
+    candidate; candidates are deduped then exact-verified with cosine.
+    Output (id_a, id_b, cos) with id_a < id_b, cos >= threshold.
+
+    100 TB sizing: the per-band bucket space is 2^num_planes — it must
+    SCALE with the corpus so the within-bucket self-join stays ~linear
+    (n²/2^p pairs per band). Raising num_planes shrinks buckets but
+    costs recall for non-identical near-dups (a pair survives a band
+    only if ALL its planes agree); ``bands`` buys that recall back
+    multiplicatively: P(candidate) = 1-(1-s^p)^b for sign-agreement
+    rate s. Rule of thumb: pick num_planes ≈ log2(corpus_rows) - 10
+    (≈1k rows/bucket), then bands for the recall target. The defaults
+    (16, 4) are the shape demo; at 10^12 rows use ~30 planes."""
+    all_bands = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    for b in range(bands):
+        all_bands = lsh_sign_bucket(
+            all_bands, "_v", num_planes, bucket_col=f"_bkt{b}",
+            dim=dim, plane_offset=b * num_planes,
+        )
+    banded = all_bands.withColumn(
+        "_band",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"_bkt{b}").alias("bucket"))
+            for b in range(bands)
+        ])),
+    ).select(
+        "_id", "_v",
+        F.col("_band.band_idx").alias("band_idx"),
+        F.col("_band.bucket").alias("bucket"),
     )
-    pairs = (
-        b.alias("a")
-        .join(b.alias("b"), (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a._id") < F.col("b._id")))
+    a, bb = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("cos"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.filter(F.col("cos") >= threshold)
+    return (
+        cand.withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
 
 
 def cosine_pandas_udf():

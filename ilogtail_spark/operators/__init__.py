@@ -14,6 +14,7 @@ from ilogtail_spark.operators.registry import OPERATORS, register
 from ilogtail_spark.operators import (  # noqa: E402,F401
     agg,
     filters,
+    otel,
     parse,
     prom,
     route,
@@ -21,5 +22,12 @@ from ilogtail_spark.operators import (  # noqa: E402,F401
     transform,
 )
 from ilogtail_spark.functions import grok  # noqa: E402,F401
+
+# registering modules OUTSIDE this package (ordered after
+# operators.parse — plans.spl imports it at module level). Without
+# these, registry completeness depends on which query/test imported
+# first (a q58-first bench run hit KeyError: 'processor_spl').
+from ilogtail_spark.plans import spl  # noqa: E402,F401
+from ilogtail_spark.sinks import serialize  # noqa: E402,F401
 
 __all__ = ["OPERATORS", "register"]

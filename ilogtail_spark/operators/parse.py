@@ -1226,9 +1226,10 @@ def _ts_factory(**cfg):
     fmt = cfg_pop(cfg, "Format", "SourceFormat", "fmt")
     epoch = fmt.strip() == "%s"  # JDK has no epoch-seconds token
     if not epoch and "%" in fmt:
-        from ilogtail_spark.common import strptime_to_jdk
+        from ilogtail_spark.common import fmt_has_tokens, strptime_to_jdk
 
-        had_zone = "%z" in fmt or "%Z" in fmt
+        # token walk, not substring: '%%z' is a literal '%z', no zone
+        had_zone = fmt_has_tokens(fmt, {"z", "Z"})
         fmt = strptime_to_jdk(fmt)
         if not had_zone:
             # the Go strptime lib TOLERATES (does not honor) a

@@ -105,6 +105,34 @@ def test_pack_sequences_matches_single_stream_scan(spark):
         assert got["straddles"] == (r[2] > 0 and (end - 1) // 64 > start // 64)
 
 
+def test_pack_sequences_negative_and_huge_order_keys(spark):
+    """Shard assignment is exact integer FLOOR division: negative
+    order keys must keep rising shard ids (truncation toward zero
+    would collapse shards -x and +x into shard 0 and scramble
+    concatenation order), and keys above 2^53 must not lose precision
+    through a double divide."""
+    rows = [(k, "s", 10) for k in (-33, -17, -1, 0, 1, 16, 33)]
+    df = spark.createDataFrame(rows, "doc_id long, stream string, n_tok long")
+    out = pack_sequences(
+        df, budget=64, tokens_col="n_tok", stream_col="stream",
+        order_col="doc_id", shard_span=16,
+    ).orderBy("doc_id").collect()
+    cum = 0
+    for r, got in zip(sorted(rows), out):
+        assert got["doc_id"] == r[0]
+        assert got["seq_id"] == cum // 64 and got["seq_offset"] == cum % 64, got
+        cum += r[2]
+    # 2^53+1 and 2^53+17 are distinguishable only with exact division
+    big = 2**53
+    rows2 = [(big + 1, "s", 5), (big + 17, "s", 5)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, stream string, n_tok long")
+    out2 = pack_sequences(
+        df2, budget=64, tokens_col="n_tok", stream_col="stream",
+        order_col="doc_id", shard_span=16,
+    ).orderBy("doc_id").collect()
+    assert [r["seq_offset"] for r in out2] == [0, 5]
+
+
 def test_pack_sequences_no_stream_wide_window(spark):
     """The scale property: no Window partitioned by the stream key
     alone — prefix sums run within (stream, shard) and the only

@@ -171,6 +171,62 @@ def test_split_log_regex_is_narrow(spark):
     assert plan.count("_slr_bounds") <= 4
 
 
+def test_lsh_dim_param_skips_driver_probe(spark):
+    """With an explicit dim, lsh_sign_bucket (and every q27/q28/q50/q75
+    caller passing it) must submit ZERO Spark jobs while building the
+    plan — the `.first()` dimensionality probe is fallback-only."""
+    from ilogtail_spark.functions.similarity import lsh_sign_bucket
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = lsh_sign_bucket(df, num_planes=4, dim=3)  # plan only, no action
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "dim param must not submit a probe job"
+    assert out.schema["bucket"].dataType.simpleString() == "bigint"
+
+
+def test_neardup_bucket_space_scales_with_knobs(spark):
+    """100 TB guard for embedding_neardup_pairs: the per-band bucket
+    space is 2^num_planes and bands are independent signatures — the
+    candidate self-join key count must GROW with the num_planes knob
+    (the round-3 verdict's n²/256 fixed-granularity trap)."""
+    import random
+
+    from ilogtail_spark.functions.similarity import lsh_sign_bucket
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    n4 = lsh_sign_bucket(df, num_planes=4, dim=16).select("bucket").distinct().count()
+    n10 = lsh_sign_bucket(df, num_planes=10, dim=16).select("bucket").distinct().count()
+    assert n4 <= 16 and n10 > n4 * 4, (n4, n10)
+    # independent bands: plane_offset selects a DIFFERENT signature
+    b0 = lsh_sign_bucket(df, num_planes=6, dim=16, plane_offset=0)
+    b1 = lsh_sign_bucket(df, num_planes=6, dim=16, plane_offset=6)
+    diff = (
+        b0.alias("a").join(b1.alias("b"), "vec_id")
+        .filter(F.col("a.bucket") != F.col("b.bucket")).count()
+    )
+    assert diff > 0, "bands must hash with independent plane sets"
+
+
+def test_neardup_banded_join_is_bucket_equi_join(spark):
+    """The banded near-dup candidate join must be an equi-join on
+    (band_idx, bucket) — no cartesian/broadcast-nested-loop stage."""
+    from ilogtail_spark.functions.similarity import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(embedding_neardup_pairs(df, num_planes=4, bands=2, dim=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_repetition_stats_is_narrow(spark):
     """q74: all three repetition signals are linear per-row folds —
     zero Exchange, no window, no join."""
