@@ -1374,13 +1374,12 @@ def _kv(key, value):
     return F.struct(F.lit(key).alias("key"), value.alias("value"))
 
 
-def _q_otel_trace(spark: SparkSession, sf: str) -> DataFrame:
-    """processor_otel_trace, Format=json
-    (processor_otel_trace.go:68-115 → otlp_trace_parser.go:112-216):
-    build a real OTLP/JSON trace document per turn (resource attrs with
+def _otel_trace_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """OTLP/JSON trace document per turn (resource attrs with
     host.name/service.name shortcuts + typed extras, one scope, one
-    span with typed attributes, conditional events/links, status), then
-    decode it back to the reference's 18-field span row."""
+    span with typed attributes, conditional events/links, status) in
+    column ``otel`` — shared by the json (q65) and protobuf (q77)
+    decode legs."""
     df = derive_transcripts(spark, sf)
     t = F.col("turn_idx")
     ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
@@ -1459,20 +1458,45 @@ def _q_otel_trace(spark: SparkSession, sf: str) -> DataFrame:
             )).alias("scopeSpans"),
         )).alias("resourceSpans"),
     ))
+    return df.withColumn("otel", doc)
+
+
+def _q_otel_trace(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_otel_trace, Format=json
+    (processor_otel_trace.go:68-115 → otlp_trace_parser.go:112-216):
+    decode the fixture document back to the reference's 18-field span
+    row."""
     from ilogtail_spark.operators.otel import otel_trace_parse
 
     return otel_trace_parse(
-        df.withColumn("otel", doc), "otel", keep=["conv_id", "turn_idx"]
+        _otel_trace_fixture(spark, sf), "otel", keep=["conv_id", "turn_idx"]
     )
 
 
-def _q_otel_metric(spark: SparkSession, sf: str) -> DataFrame:
-    """processor_otel_metric, Format=json
-    (processor_otel_metric.go:66-100 → otlp_metric_parser.go:48-298):
-    per turn one OTLP metric document whose type cycles through
+def _q_otel_trace_pb(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_otel_trace, Format=protobuf
+    (processor_otel_trace.go:50,68-115): the SAME fixture spans travel
+    as binary TracesData wire bytes (fixture-side protojson→pb encode,
+    pb.py descriptor encoder) and decode through the Format=protobuf
+    leg — varint walk → protojson → identical from_json plan.  The
+    oracle is q65's verbatim: both wire forms must produce the
+    identical 18-field span rows."""
+    from ilogtail_spark.operators.otel import otel_trace_parse
+    from ilogtail_spark.operators.pb import otlp_json_to_pb_udf
+
+    fx = _otel_trace_fixture(spark, sf)
+    fx = fx.withColumn("otel_pb", otlp_json_to_pb_udf("trace")(F.col("otel")))
+    return otel_trace_parse(
+        fx, "otel_pb", keep=["conv_id", "turn_idx"], wire="protobuf"
+    )
+
+
+def _otel_metric_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Per turn one OTLP metric document whose type cycles through
     gauge / sum / histogram / summary / exponentialHistogram — all
     five fan-outs, suffix schemes, cumulative le buckets, quantile
-    labels, exponential bucket field names and exemplar rows."""
+    labels, exponential bucket field names and exemplar rows.  Shared
+    by the json (q66) and protobuf (q78) decode legs."""
     df = derive_transcripts(spark, sf)
     t = F.col("turn_idx")
     ts_ns = F.unix_micros(F.col("ts").cast("timestamp")) * 1000
@@ -1569,10 +1593,32 @@ def _q_otel_metric(spark: SparkSession, sf: str) -> DataFrame:
         .when(t % 5 == 3, summ)
         .otherwise(ehist)
     )
+    return df.withColumn("otel", doc)
+
+
+def _q_otel_metric(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_otel_metric, Format=json
+    (processor_otel_metric.go:66-100 → otlp_metric_parser.go:48-298)."""
     from ilogtail_spark.operators.otel import otel_metric_parse
 
     return otel_metric_parse(
-        df.withColumn("otel", doc), "otel", keep=["conv_id", "turn_idx"]
+        _otel_metric_fixture(spark, sf), "otel", keep=["conv_id", "turn_idx"]
+    )
+
+
+def _q_otel_metric_pb(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_otel_metric, Format=protobuf: the SAME fixture
+    documents as binary MetricsData wire bytes through the pb leg —
+    packed uint64 bucket counts, packed doubles, zigzag sint32
+    scale/offset, fixed64 times all exercised.  Oracle = q66's
+    verbatim."""
+    from ilogtail_spark.operators.otel import otel_metric_parse
+    from ilogtail_spark.operators.pb import otlp_json_to_pb_udf
+
+    fx = _otel_metric_fixture(spark, sf)
+    fx = fx.withColumn("otel_pb", otlp_json_to_pb_udf("metric")(F.col("otel")))
+    return otel_metric_parse(
+        fx, "otel_pb", keep=["conv_id", "turn_idx"], wire="protobuf"
     )
 
 
@@ -1750,6 +1796,49 @@ def _q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_sls_pb(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary SLS protobuf roundtrip (processor_parse_from_pb_native,
+    ProcessorParseFromPBNative.cpp:38; wire schema sls_logs.proto:37-62):
+    encode one LogGroup per conversation (logs ordered by turn_idx,
+    Contents from role/text/tool/turn_idx, Time/Time_ns from ts, topic
+    = conv_id, LogTags) with the pure-Python wire encoder, decode it
+    back with the descriptor-driven varint walker, fan out one row per
+    Log.  The oracle recomputes every field straight from transcripts
+    — any single-bit framing error in either direction breaks parity.
+    (Wire-format pinning against HAND-computed golden bytes lives in
+    tests/test_pb.py, so encoder and decoder bugs cannot cancel out.)
+    """
+    from ilogtail_spark.operators.pb import sls_pb_decode, sls_pb_encode_groups
+
+    df = derive_transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.expr("unix_micros(cast(ts as timestamp)) div 1000000").alias("t_sec"),
+        (F.pmod(F.expr("unix_micros(cast(ts as timestamp))"), F.lit(1000000))
+         * 1000).alias("t_ns"),
+    )
+    enc = sls_pb_encode_groups(
+        df, group_cols=["conv_id"], time_col="t_sec",
+        content_cols=["role", "text", "tool", "turn_idx"],
+        order_col="turn_idx", topic_col="conv_id", source="agent-host",
+        time_ns_col="t_ns", tags={"host": "h-1", "env": "prod"},
+    )
+    dec = sls_pb_decode(enc, "pb", keep=["conv_id"])
+    return dec.select(
+        "conv_id",
+        "topic",
+        "source",
+        "machine_uuid",
+        F.element_at("tags", "host").alias("host_tag"),
+        F.element_at("tags", "env").alias("env_tag"),
+        "log_time",
+        "time_ns",
+        F.element_at("contents", "role").alias("role"),
+        F.element_at("contents", "text").alias("text"),
+        F.element_at("contents", "tool").alias("tool"),
+        F.element_at("contents", "turn_idx").cast("int").alias("turn_idx"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -1757,6 +1846,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checked get verified first; q01–q50 (driver-green in BOTH r02 and
     # r03) rotate to the tail. See BASELINE.md "Correctness artifact".
     head = {
+        "q76_sls_pb": _q_sls_pb,
+        "q77_otel_trace_pb": _q_otel_trace_pb,
+        "q78_otel_metric_pb": _q_otel_metric_pb,
         "q51_asof_join": _q_asof_join,
         "q52_rolling_fp": _q_rolling_fingerprint,
         "q53_prom_relabel": _q_prom_relabel,
@@ -2060,7 +2152,7 @@ _Q26_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "q01_transcripts": TRANSCRIPTS_CTE
         + "SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "q02_parse_regex": PARSED_CTE
@@ -2202,6 +2294,20 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        # q76: the pb encode∘decode roundtrip must reproduce every
+        # field bit-for-bit from the base table
+        "q76_sls_pb": TRANSCRIPTS_CTE
+        + """SELECT conv_id,
+                    conv_id AS topic,
+                    'agent-host' AS source,
+                    '' AS machine_uuid,
+                    'h-1' AS host_tag,
+                    'prod' AS env_tag,
+                    epoch_us(ts) // 1000000 AS log_time,
+                    (epoch_us(ts) % 1000000) * 1000 AS time_ns,
+                    role, text, tool,
+                    CAST(turn_idx AS INTEGER) AS turn_idx
+             FROM transcripts""",
         "q56_sessionize": TRANSCRIPTS_CTE
         + """,
            g AS (
@@ -2989,3 +3095,8 @@ def oracle_sql() -> dict[str, str]:
              ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
            GROUP BY t.query_id""",
     }
+    # the protobuf wire legs must reproduce the json legs' rows exactly
+    # — same fixture values, different wire form, one oracle
+    d["q77_otel_trace_pb"] = d["q65_otel_trace"]
+    d["q78_otel_metric_pb"] = d["q66_otel_metric"]
+    return d

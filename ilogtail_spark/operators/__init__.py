@@ -16,6 +16,7 @@ from ilogtail_spark.operators import (  # noqa: E402,F401
     filters,
     otel,
     parse,
+    pb,
     prom,
     route,
     split,

@@ -5,11 +5,13 @@
 processor_otel_metric.go:31-151) decode OpenTelemetry payloads carried
 in a log field and fan each span / metric datapoint out into flat SLS
 rows.  The reference supports ``json`` (pdata JSON), ``protobuf`` and
-``protojson`` wire forms; we implement the JSON encodings — the public
-OTLP/JSON spec — with ``from_json`` + explode; binary protobuf stays
-out of scope (no codec in this container, and a 100 TB pipeline would
-front it with ``from_protobuf`` from the spark-protobuf package with
-the same downstream plan).
+``protojson`` wire forms; ALL THREE are implemented: the JSON
+encodings — the public OTLP/JSON spec — decode with ``from_json`` +
+explode, and ``Format=protobuf`` prepends one Arrow-batched
+descriptor-walk (operators/pb.py) that lifts the wire bytes to their
+protojson form, so both wire families share the identical downstream
+plan.  (On a cluster with the spark-protobuf jar the UDF hop swaps
+for ``from_protobuf`` unchanged.)
 
 Span conversion mirrors
 pkg/protocol/decoder/opentelemetry/otlp_trace_parser.go:112-216: one
@@ -251,18 +253,37 @@ def _enum_map(c: Column, table: dict[str, str], default: str) -> Column:
 # --------------------------------------------------------------------------
 
 def otel_trace_parse(
-    df: DataFrame, source_key: str = "otel", keep: list[str] | None = None
+    df: DataFrame,
+    source_key: str = "otel",
+    keep: list[str] | None = None,
+    wire: str = "json",
 ) -> DataFrame:
-    """processor_otel_trace, Format=json/protojson
-    (processor_otel_trace.go:68-115): decode OTLP trace JSON carried
-    in ``source_key`` and emit one row per span with the
-    otlp_trace_parser.go:132-216 field layout.  Invalid JSON (or a
-    null source) yields no rows — the reference drops the log with a
+    """processor_otel_trace, Format=json/protojson/protobuf
+    (processor_otel_trace.go:68-115): decode the OTLP trace payload
+    carried in ``source_key`` and emit one row per span with the
+    otlp_trace_parser.go:132-216 field layout.  Invalid payloads (or a
+    null source) yield no rows — the reference drops the log with a
     warning.  ``keep`` carries input columns through (the reference
     replaces the event wholesale; carrying ids keeps the output
-    joinable, same convention as our other parsers)."""
+    joinable, same convention as our other parsers).
+
+    ``wire="protobuf"``: the binary column first converts to its
+    protojson form (descriptor-driven varint walker, pb.py, Arrow
+    batches) and the IDENTICAL from_json plan runs downstream — one
+    decode semantics, two wire forms."""
     keep = keep or []
-    doc = F.from_json(F.col(source_key), TRACE_SCHEMA)
+    if wire == "protobuf":
+        from ilogtail_spark.operators.pb import otlp_pb_to_json_udf
+
+        # materialize the UDF output in ITS OWN projection: the doc
+        # expression is referenced by several downstream explodes, and
+        # an inlined Python UDF would re-execute per reference (the
+        # expression-reuse trap — this was a 7x slowdown)
+        df = df.withColumn("_pj", otlp_pb_to_json_udf("trace")(F.col(source_key)))
+        src = F.col("_pj")
+    else:
+        src = F.col(source_key)
+    doc = F.from_json(src, TRACE_SCHEMA)
     rs_arr = F.coalesce(
         doc["resourceSpans"],
         F.when(
@@ -518,11 +539,14 @@ def _exp_buckets(name: Column, lbl: Column, t: Column, scale: Column,
 
 
 def otel_metric_parse(
-    df: DataFrame, source_key: str = "otel", keep: list[str] | None = None
+    df: DataFrame,
+    source_key: str = "otel",
+    keep: list[str] | None = None,
+    wire: str = "json",
 ) -> DataFrame:
-    """processor_otel_metric, Format=json/protojson
+    """processor_otel_metric, Format=json/protojson/protobuf
     (processor_otel_metric.go:66-100 → ConvertOtlpMetrics,
-    otlp_metric_parser.go:48-75): decode OTLP metric JSON in
+    otlp_metric_parser.go:48-75): decode the OTLP metric payload in
     ``source_key`` into SLS metric rows
     ``(__name__, __labels__, __time_nano__, __value__)``.  Resource
     attributes seed the label set; each datapoint's attributes extend
@@ -530,9 +554,20 @@ def otel_metric_parse(
     quantiles label ``quantile``; sums add
     ``otlp.metric.ismonotonic``; exponential histograms emit
     ``(lo,hi]`` / offset / zero.count bucket rows; every datapoint's
-    exemplars emit ``<name>_exemplars`` rows."""
+    exemplars emit ``<name>_exemplars`` rows.
+
+    ``wire="protobuf"``: binary MetricsData converts to protojson via
+    the pb.py descriptor walker first; downstream plan identical."""
     keep = keep or []
-    doc = F.from_json(F.col(source_key), METRIC_SCHEMA)
+    if wire == "protobuf":
+        from ilogtail_spark.operators.pb import otlp_pb_to_json_udf
+
+        # own projection — see otel_trace_parse (expression-reuse trap)
+        df = df.withColumn("_pj", otlp_pb_to_json_udf("metric")(F.col(source_key)))
+        src = F.col("_pj")
+    else:
+        src = F.col(source_key)
+    doc = F.from_json(src, METRIC_SCHEMA)
     rm_arr = F.coalesce(
         doc["resourceMetrics"],
         F.when(
@@ -739,17 +774,26 @@ def otel_metric_parse(
 # registry
 # --------------------------------------------------------------------------
 
+def _wire_of(fmt: str) -> str:
+    """Map the reference's Format values (processor_otel_trace.go:50:
+    json / protojson / protobuf) onto the two plan legs: both JSON
+    encodings share the from_json plan; protobuf prepends the pb walk."""
+    if fmt not in ("json", "protojson", "protobuf"):
+        raise ValueError(f"processor_otel_*: unsupported Format '{fmt}'")
+    return "protobuf" if fmt == "protobuf" else "json"
+
+
 @register("processor_otel_trace")
 def _otel_trace_factory(**cfg):
     src = cfg_pop(cfg, "SourceKey", "source_key", default="otel")
-    cfg_pop(cfg, "Format", "format", default="json")  # json/protojson only
+    wire = _wire_of(cfg_pop(cfg, "Format", "format", default="json"))
     keep = cfg_pop(cfg, "Keep", "keep", default=None)
-    return lambda df: otel_trace_parse(df, source_key=src, keep=keep)
+    return lambda df: otel_trace_parse(df, source_key=src, keep=keep, wire=wire)
 
 
 @register("processor_otel_metric")
 def _otel_metric_factory(**cfg):
     src = cfg_pop(cfg, "SourceKey", "source_key", default="otel")
-    cfg_pop(cfg, "Format", "format", default="json")
+    wire = _wire_of(cfg_pop(cfg, "Format", "format", default="json"))
     keep = cfg_pop(cfg, "Keep", "keep", default=None)
-    return lambda df: otel_metric_parse(df, source_key=src, keep=keep)
+    return lambda df: otel_metric_parse(df, source_key=src, keep=keep, wire=wire)

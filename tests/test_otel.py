@@ -134,6 +134,42 @@ def test_registry_config_pipeline(spark):
     assert mop(mdf).count() == 10
 
 
+def test_pb_wire_leg_matches_json_leg_on_go_fixture(spark):
+    """Format=protobuf on the reference's own Go-test protojson
+    fixtures: json→wire-bytes→decode must yield row-for-row the same
+    output as the json leg (both processors)."""
+    from ilogtail_spark.operators.pb import otlp_json_to_pb_udf
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    import json as _json
+
+    for proc, gofile, var, root, wrap in [
+        ("processor_otel_trace", "processor_otel_trace_test.go",
+         "protoJSONData", "trace", "resourceSpans"),
+        ("processor_otel_metric", "processor_otel_metric_test.go",
+         "protoJSONMetricData", "metric", "resourceMetrics"),
+    ]:
+        doc = _fixture(gofile, var)
+        df = spark.createDataFrame([(1, doc)], "id int, src string")
+        json_rows = OPERATORS[proc](SourceKey="src", Format="json")(df).collect()
+        # the Go fixture is a BARE ResourceSpans/ResourceMetrics (the
+        # protojson form); the binary wire unit is always TracesData /
+        # MetricsData (field 1 = repeated resource_*), so wrap first
+        wrapped = _json.dumps({wrap: [_json.loads(doc)]})
+        df = spark.createDataFrame([(1, wrapped)], "id int, src string")
+        pdf = df.withColumn("src_pb", otlp_json_to_pb_udf(root)(F.col("src")))
+        pb_rows = (
+            OPERATORS[proc](SourceKey="src_pb", Format="protobuf")(pdf).collect()
+        )
+        assert len(json_rows) == len(pb_rows) == 10
+        key = lambda r: tuple(str(v) for v in r)  # noqa: E731
+        assert sorted(map(key, json_rows)) == sorted(map(key, pb_rows)), proc
+    import pytest
+
+    with pytest.raises(ValueError):
+        OPERATORS["processor_otel_trace"](SourceKey="s", Format="flatbuffers")
+
+
 def test_dup_attr_keys_last_wins(spark):
     doc = (
         '{"resourceSpans":[{"resource":{"attributes":[]},"scopeSpans":[{'

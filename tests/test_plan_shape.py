@@ -227,6 +227,27 @@ def test_neardup_banded_join_is_bucket_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_otel_pb_decode_is_narrow(spark):
+    """Format=protobuf prepends ONE Arrow-batched UDF hop to the json
+    plan — still zero Exchange: decode parallelism is the scan's."""
+    from ilogtail_spark.operators.otel import otel_metric_parse, otel_trace_parse
+
+    df = spark.range(2).select(F.col("id"), F.lit(b"\x00").cast("binary").alias("pb"))
+    for op in (otel_trace_parse, otel_metric_parse):
+        plan = _plan(op(df, "pb", keep=["id"], wire="protobuf"))
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" in plan  # the pb->protojson hop, batched
+
+
+def test_sls_pb_decode_is_narrow(spark):
+    from ilogtail_spark.operators.pb import sls_pb_decode
+
+    df = spark.range(2).select(F.col("id"), F.lit(b"\x00").cast("binary").alias("pb"))
+    plan = _plan(sls_pb_decode(df, "pb", keep=["id"]))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
 def test_repetition_stats_is_narrow(spark):
     """q74: all three repetition signals are linear per-row folds —
     zero Exchange, no window, no join."""
