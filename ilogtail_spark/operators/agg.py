@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -279,6 +279,35 @@ def pack_id(df: DataFrame, pack_col: str = "__pack_id__") -> DataFrame:
             F.spark_partition_id().cast("string"),
             F.monotonically_increasing_id().cast("string"),
         ),
+    )
+
+
+def context_pack_id(
+    df: DataFrame,
+    group_cols: Sequence[str] = ("conv_id",),
+    order_col: str = "turn_idx",
+    max_events: int = 1024,
+    pack_col: str = "__pack_id__",
+) -> DataFrame:
+    """aggregator_context pack lineage in the reference's wire shape
+    (aggregator_base.go:93-145 via util.NewLogTagForPackID,
+    pkg/util/util.go:371-384): each source's logs pack into groups of
+    ``max_events`` arrival-ordered events and every log carries
+    ``__pack_id__ = <PREFIX>-<SEQ>`` — PREFIX an uppercase-hex hash of
+    the source identity (the reference uses fnv64a(config+ip+now); we
+    hash the group key deterministically so retries re-derive the same
+    id) and SEQ the per-source 1-based pack sequence in UPPERCASE HEX.
+    This is exactly the shape test/engine/verify/log_context.go:87-127
+    validates (split on '-', ParseInt(seq, 16), seq starts at 1).
+    One window per source stream — same partitioning context_order
+    already imposes, so the two compose without an extra shuffle."""
+    w = Window.partitionBy(*group_cols).orderBy(F.col(order_col))
+    seq = F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_events)) + 1
+    prefix = F.upper(
+        F.substring(F.md5(F.concat_ws("\x1f", *[F.col(c) for c in group_cols])), 1, 16)
+    )
+    return df.withColumn(
+        pack_col, F.concat_ws("-", prefix, F.hex(seq.cast("long")))
     )
 
 

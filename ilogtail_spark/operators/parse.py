@@ -79,6 +79,55 @@ def _apply_failure_contract(
 # regex / grok
 # ---------------------------------------------------------------------------
 
+# One-pass multi-group extraction: a 3-control-char sentinel no log
+# format emits (RS+GS+US). Rows whose SOURCE contains it take the
+# per-group fallback branch, so the trick is correctness-neutral.
+_ONEPASS_SEP = "\x1e\x1d\x1f"
+
+
+def _onepass_eligible(pat: str, nfields: int, ngroups: int | None) -> bool:
+    """The single-regexp_replace extraction is sound only when the
+    pattern is START-ANCHORED for every alternative: then the (one)
+    match begins at offset 0, ``(?:pat)[\\s\\S]*`` consumes the whole
+    string, and the replacement IS exactly the joined groups.  Gate:
+    starts with ``^``/``\\A`` (optionally after inline flags without
+    ``m``, which re-binds ``^``), no top-level ``|`` (only the first
+    alternative would inherit the anchor), group count known and
+    sufficient (Python-compilable dialect), ≥2 fields (one field gains
+    nothing over regexp_extract)."""
+    import re as _re
+
+    if nfields < 2 or ngroups is None or ngroups < nfields:
+        return False
+    rest = pat
+    m = _re.match(r"^\(\?([a-zA-Z]+)\)", pat)
+    if m:
+        if "m" in m.group(1).lower():
+            return False
+        rest = pat[m.end():]
+    if not (rest.startswith("^") or rest.startswith("\\A")):
+        return False
+    # top-level alternation scan (escape- and class- and group-aware)
+    depth, i, in_class = 0, 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            in_class = c != "]"
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return False
+        i += 1
+    return True
+
+
 def parse_regex(
     df: DataFrame,
     pattern: str,
@@ -120,21 +169,79 @@ def parse_regex(
         ok = F.lit(False)
     else:
         ok = F.col(source).isNotNull() & F.col(source).rlike(pat)
-    # struct-materialized like parse_dissect: keeps the rlike from
-    # being re-inlined into every extracted column downstream
-    struct_fields = [ok.alias("__ok")]
-    for i, name in enumerate(fields):
-        if always_fail:
-            # regexp_extract validates the group index at analysis —
-            # emit NULLs outright for the Go fewer-groups failure mode
-            col = F.lit(None).cast("string")
-        else:
-            col = F.when(ok, F.regexp_extract(F.col(source), pat, i + 1))
-        struct_fields.append(col.alias(f"g{i}"))
     # overwriting the source column (a Key named like SourceKey) must
     # not corrupt the failure contract's raw-source read
     stash = source in fields
-    out = df.withColumn("_rx", F.struct(*struct_fields))
+    if not always_fail and _onepass_eligible(pat, len(fields), ngroups):
+        # ONE regex execution extracts every group: replace the (single,
+        # offset-0, whole-string) match of (?:pat)[\s\S]* with the
+        # sentinel-joined group refs, then a structural split. 2 regex
+        # runs per row (rlike + replace) instead of 1 + per-group; on
+        # the SplBenchmark 20-group nginx pattern that is ~8x. Rows
+        # carrying the sentinel (or failing the match) fall back to
+        # regexp_extract per group — semantics identical either way
+        # (Java inserts "" for a non-participating $n, exactly what
+        # regexp_extract returns for a non-participating group).
+        rep = _ONEPASS_SEP.join(f"${i + 1}" for i in range(len(fields)))
+        arr = F.when(
+            F.col(source).isNotNull() & ~F.col(source).contains(_ONEPASS_SEP),
+            F.split(
+                F.regexp_replace(F.col(source), f"(?:{pat})[\\s\\S]*", rep),
+                _ONEPASS_SEP,
+                -1,
+            ),
+        )
+        # the array lands ALONE in its own projection: a column used by
+        # the next projection is materialized exactly once, whereas
+        # subexpressions under different conditional branches are NOT
+        # deduplicated by codegen (this was 3 replace runs per row)
+        out = df.withColumn("_rxa", arr)
+        arr0 = F.col("_rxa")
+        # the replace output IS the match flag: pat is start-anchored,
+        # so the wrapped pattern matches iff pat does, and a fired
+        # replace yields exactly len(fields) sentinel-joined parts
+        # while a miss passes the (sentinel-free) source through as
+        # ONE part — no separate rlike, ONE regex run per row. Only
+        # sentinel-carrying rows pay the rlike fallback.
+        ok0 = F.when(
+            arr0.isNotNull(), F.size(arr0) == F.lit(len(fields))
+        ).otherwise(ok)
+        struct_fields = [ok0.alias("__ok")]
+        for i in range(len(fields)):
+            # the match flag guards BOTH branches: a non-matching row's
+            # arr is the size-1 passthrough (element_at would be out of
+            # bounds under ANSI), and extraction on failure must yield
+            # NULL. size==len check inlined (cheap on the materialized
+            # array) rather than reusing ok0 (a CaseWhen that codegen
+            # would re-evaluate per field).
+            col = (
+                F.when(
+                    arr0.isNotNull() & (F.size(arr0) == F.lit(len(fields))),
+                    F.element_at(arr0, i + 1),
+                )
+                # sentinel-free MISS: NULL without touching the regex
+                # again (falling through to the rlike branch would
+                # re-run the pattern on every non-matching row)
+                .when(arr0.isNotNull(), F.lit(None).cast("string"))
+                .otherwise(
+                    F.when(ok, F.regexp_extract(F.col(source), pat, i + 1))
+                )
+            )
+            struct_fields.append(col.alias(f"g{i}"))
+        out = out.withColumn("_rx", F.struct(*struct_fields)).drop("_rxa")
+    else:
+        # struct-materialized like parse_dissect: keeps the rlike from
+        # being re-inlined into every extracted column downstream
+        struct_fields = [ok.alias("__ok")]
+        for i, name in enumerate(fields):
+            if always_fail:
+                # regexp_extract validates the group index at analysis —
+                # emit NULLs outright for the Go fewer-groups failure mode
+                col = F.lit(None).cast("string")
+            else:
+                col = F.when(ok, F.regexp_extract(F.col(source), pat, i + 1))
+            struct_fields.append(col.alias(f"g{i}"))
+        out = df.withColumn("_rx", F.struct(*struct_fields))
     if stash:
         out = out.withColumn("_rx_src", F.col(source))
     seen = []
