@@ -1839,6 +1839,45 @@ def _q_sls_pb(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """service_canal row-event semantics (input_canal.go:345-420):
+    derive a canal-shaped binlog stream from transcripts — per conv a
+    keyed row whose lifecycle is row_insert (turn 0), row_update
+    (other turns, carrying the previous image as _old_text per
+    go:391-406), row_delete (turn_idx%7==3) — then replay it into
+    final table state with cdc_replay (ordered MERGE: last event per
+    key wins, a trailing delete removes the key).  One max_by hash
+    aggregation, no window sort (operators/cdc.py)."""
+    from ilogtail_spark.operators.cdc import cdc_replay
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ev = derive_transcripts(spark, sf).select(
+        "conv_id",
+        "turn_idx",
+        F.lit("agent").alias("_db_"),
+        F.lit("conv_state").alias("_table_"),
+        F.when(F.col("turn_idx") == 0, F.lit("row_insert"))
+        .when(F.col("turn_idx") % 7 == 3, F.lit("row_delete"))
+        .otherwise(F.lit("row_update"))
+        .alias("_event_"),
+        "role",
+        "text",
+        "tool",
+    )
+    ev = ev.withColumn("_old_text", F.lag("text").over(w))
+    out = cdc_replay(
+        ev,
+        key_cols=["conv_id"],
+        order_col="turn_idx",
+        value_cols=["_db_", "_table_", "role", "text", "tool", "_old_text"],
+    )
+    return out.select(
+        "conv_id", "final_event", F.col("last_turn_idx"),
+        "_db_", "_table_", "role", "text", "tool",
+        F.col("_old_text").alias("old_text"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -1846,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checked get verified first; q01–q50 (driver-green in BOTH r02 and
     # r03) rotate to the tail. See BASELINE.md "Correctness artifact".
     head = {
+        "q79_cdc_upsert": _q_cdc_upsert,
         "q76_sls_pb": _q_sls_pb,
         "q77_otel_trace_pb": _q_otel_trace_pb,
         "q78_otel_metric_pb": _q_otel_metric_pb,
@@ -2294,6 +2334,29 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        # q79: the ordered-MERGE replay in plain window SQL — last
+        # event per key wins, trailing delete removes the key
+        "q79_cdc_upsert": TRANSCRIPTS_CTE
+        + """,
+           ev AS (
+             SELECT conv_id, turn_idx,
+                    'agent' AS _db_, 'conv_state' AS _table_,
+                    CASE WHEN turn_idx = 0 THEN 'row_insert'
+                         WHEN turn_idx % 7 = 3 THEN 'row_delete'
+                         ELSE 'row_update' END AS _event_,
+                    role, text, tool,
+                    lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      AS _old_text
+             FROM transcripts),
+           last AS (
+             SELECT *, row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx DESC) AS rn
+             FROM ev)
+           SELECT conv_id, _event_ AS final_event,
+                  turn_idx AS last_turn_idx,
+                  _db_, _table_, role, text, tool,
+                  _old_text AS old_text
+           FROM last WHERE rn = 1 AND _event_ <> 'row_delete'""",
         # q76: the pb encode∘decode roundtrip must reproduce every
         # field bit-for-bit from the base table
         "q76_sls_pb": TRANSCRIPTS_CTE
