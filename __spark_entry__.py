@@ -1878,6 +1878,85 @@ def _q_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _para_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents restructured into paragraphs with PLANTED boilerplate:
+    a global regexp_replace turns every 12-word run's trailing space
+    into a newline (left-to-right non-overlapping = exact 12-word
+    chunks), every doc gets the same header paragraph prepended, and
+    every 5th doc the same footer appended — the repeated nav-chrome a
+    web corpus carries.  Mirrored verbatim in the q80 oracle CTE."""
+    docs = load_table(spark, sf, "documents")
+    body = F.regexp_replace(F.col("text"), r"((?:\S+ ){11}\S+) ", "$1\n")
+    header = F.lit("subscribe to our newsletter for updates")
+    footer = F.lit("all rights reserved terms of service apply")
+    text = F.concat(
+        header,
+        F.lit("\n"),
+        body,
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("\n"), footer)).otherwise(
+            F.lit("")
+        ),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-level exact dedup with doc reconstruction
+    (functions/dedup.py:paragraph_dedup): the planted header survives
+    only in doc 0, the footer only in the first doc_id%5==0 doc, and
+    every doc's unique prose is untouched; n_dropped counts the
+    boilerplate removed per doc."""
+    from ilogtail_spark.functions.dedup import paragraph_dedup
+
+    return paragraph_dedup(_para_fixture(spark, sf), "text", "doc_id", sep="\n")
+
+
+def _q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-rule PII scrub (functions/pii.py): emails / SSNs / phones
+    / IPv4s planted deterministically per doc are found, counted and
+    replaced with typed placeholders in one chained codegen pass."""
+    from ilogtail_spark.functions.pii import pii_scrub
+
+    docs = load_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-010-"),
+            F.format_string("%04d", F.pmod(F.col("doc_id"), F.lit(10000))),
+            F.lit(" from host 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" ssn 123-45-6789 on file")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = pii_scrub(planted, "text")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4",
+        F.col("text_scrubbed"),
+    )
+
+
+def _q_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashed-feature linear quality classifier
+    (functions/textstats.py:classifier_score): integer-space weight
+    fold, one float division, keep/drop label at margin 0 — the
+    fasttext-shaped quality-filter stage, oracle-exact."""
+    from ilogtail_spark.functions.textstats import classifier_score
+
+    docs = load_table(spark, sf, "documents")
+    margin = classifier_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(margin, 9).alias("margin"),
+        F.when(margin > 0, F.lit("keep")).otherwise(F.lit("drop")).alias("label"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -1885,6 +1964,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checked get verified first; q01–q50 (driver-green in BOTH r02 and
     # r03) rotate to the tail. See BASELINE.md "Correctness artifact".
     head = {
+        "q80_paragraph_dedup": _q_paragraph_dedup,
+        "q81_pii_scrub": _q_pii_scrub,
+        "q82_classifier_score": _q_classifier_score,
         "q79_cdc_upsert": _q_cdc_upsert,
         "q76_sls_pb": _q_sls_pb,
         "q77_otel_trace_pb": _q_otel_trace_pb,
@@ -2334,6 +2416,111 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        # q80: paragraph dedup — fixture construction + first-global-
+        # occurrence window + ordered string_agg rebuild, all mirrored
+        "q80_paragraph_dedup": r"""
+           WITH fx AS (
+             SELECT doc_id,
+                    'subscribe to our newsletter for updates' || chr(10) ||
+                    regexp_replace(text, '((?:\S+ ){11}\S+) ',
+                                   '\1' || chr(10), 'g') ||
+                    CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) ||
+                              'all rights reserved terms of service apply'
+                         ELSE '' END AS text
+             FROM documents),
+           ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM fx),
+           p AS (
+             SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(l)),
+                           i -> {'pos': i, 'para': l[i]})) AS u
+             FROM ls),
+           q AS (
+             SELECT doc_id, u.pos AS pos, u.para AS para,
+                    ('0x' || substr(md5(u.para), 1, 15))::BIGINT AS h
+             FROM p),
+           k AS (
+             SELECT *, row_number() OVER (PARTITION BY h
+                                          ORDER BY doc_id, pos) AS rn
+             FROM q)
+           SELECT doc_id,
+                  string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                             ORDER BY pos) AS text,
+                  count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+                  count(CASE WHEN rn > 1 THEN 1 END) AS n_dropped
+           FROM k GROUP BY doc_id
+           HAVING count(CASE WHEN rn = 1 THEN 1 END) > 0""",
+        # q81: PII scrub — rule order fixed; each rule counts on the
+        # text AS SEEN BY THAT RULE, then replaces
+        "q81_pii_scrub": r"""
+           WITH planted AS (
+             SELECT doc_id,
+                    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                    '@example.com or 555-010-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                    ' from host 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+                    '.7' ||
+                    CASE WHEN doc_id % 3 = 0
+                         THEN ' ssn 123-45-6789 on file' ELSE '' END AS text
+             FROM documents),
+           s0 AS (
+             SELECT doc_id, text,
+                    len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      AS n_email,
+                    regexp_replace(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1
+             FROM planted),
+           s1 AS (
+             SELECT *, len(regexp_extract_all(t1,
+                           '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                    regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b',
+                                   '<SSN>', 'g') AS t2
+             FROM s0),
+           s2 AS (
+             SELECT *, len(regexp_extract_all(t2,
+                   '(?:\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b'))
+                      AS n_phone,
+                    regexp_replace(t2,
+                   '(?:\+?1[-. ])?\(?\b\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b',
+                                   '<PHONE>', 'g') AS t3
+             FROM s1),
+           s3 AS (
+             SELECT *, len(regexp_extract_all(t3,
+                   '\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b'))
+                      AS n_ipv4,
+                    regexp_replace(t3,
+                   '\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b',
+                                   '<IP>', 'g') AS text_scrubbed
+             FROM s2)
+           SELECT doc_id,
+                  CAST(n_email AS INTEGER) AS n_email,
+                  CAST(n_ssn AS INTEGER) AS n_ssn,
+                  CAST(n_phone AS INTEGER) AS n_phone,
+                  CAST(n_ipv4 AS INTEGER) AS n_ipv4,
+                  text_scrubbed
+           FROM s3""",
+        # q82: hashed-feature linear classifier — integer fold, one
+        # float division (summation order cannot fork the engines)
+        "q82_classifier_score": r"""
+           WITH w AS (
+             SELECT doc_id,
+                    regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             FROM documents),
+           t AS (
+             SELECT doc_id, len(ws) AS n,
+                    list_reduce(list_prepend(0::BIGINT,
+                      list_transform(ws, x ->
+                        ((('0x' || substr(md5(x), 1, 15))::BIGINT % 4096)
+                         * 2654435761) % 10007 - 5003)),
+                      (a, b) -> a + b) AS total
+             FROM w)
+           SELECT doc_id,
+                  round(total / (n * 5003.0), 9) AS margin,
+                  CASE WHEN total / (n * 5003.0) > 0
+                       THEN 'keep' ELSE 'drop' END AS label
+           FROM t""",
         # q79: the ordered-MERGE replay in plain window SQL — last
         # event per key wins, trailing delete removes the key
         "q79_cdc_upsert": TRANSCRIPTS_CTE

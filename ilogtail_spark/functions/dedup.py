@@ -80,6 +80,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup with document reconstruction — the
+    boilerplate-removal pass of web-corpus curation (RefinedWeb /
+    Dolma style): split every document on ``sep``, keep each distinct
+    paragraph ONLY at its first global occurrence (ordered by
+    (id, position) — deterministic, retry-stable), reassemble the
+    survivors in original order, and drop documents left empty.
+    Repeated headers/footers/nav-chrome survive in exactly one
+    document; unique prose is untouched.
+
+    Output: ``(id, text, n_kept, n_dropped)`` with ``text`` the
+    rebuilt document.
+
+    Scale shape: posexplode (narrow) → one groupBy on the 60-bit
+    paragraph hash (uniform shuffle key; partial agg combines
+    map-side) → one hash-equi-join back on the same key (no
+    re-partition: both sides already hash-partitioned by it) → one
+    groupBy(id) rebuild whose per-group size is bounded by the
+    document's own paragraph count.  Nothing is ever keyed by the
+    paragraph STRING — an 8-byte key shuffles, strings stay columnar.
+    """
+    from ilogtail_spark.common import md5_hash64
+
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).withColumn("_h", md5_hash64(F.col("_para")))
+    winners = paras.groupBy("_h").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")
+    )
+    kept = paras.join(winners, "_h").withColumn(
+        "_keep", (F.col("_id") == F.col("_w._id")) & (F.col("_pos") == F.col("_w._pos"))
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_keep"), F.struct(F.col("_pos"), F.col("_para")))
+                    )
+                ),
+                lambda s: s["_para"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.when(F.col("_keep"), F.lit(1))).alias("n_kept"),
+        F.count(F.when(~F.col("_keep"), F.lit(1))).alias("n_dropped"),
+    )
+    return rebuilt.filter(F.col("n_kept") > 0).select(
+        F.col("_id").alias(id_col), text_col, "n_kept", "n_dropped"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

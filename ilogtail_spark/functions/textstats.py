@@ -130,6 +130,44 @@ def rolling_fingerprint(col: Column) -> Column:
     )
 
 
+CLS_DIM = 4096  # hashed-feature space
+CLS_MULT = 2654435761  # Knuth multiplicative constant
+CLS_MOD = 10007  # weight range prime; weights in [-5003, 5003]
+
+
+def classifier_weight(tok_hash: Column) -> Column:
+    """Deterministic pseudo-weight for a hashed token feature:
+    bucket = h mod DIM, w = (bucket·MULT mod MOD) − (MOD−1)/2 — an
+    integer in [−5003, 5003].  Stands in for trained fasttext-style
+    weights; the POINT is the execution shape (hash → bucket → weight
+    lookup → fold), which is exactly a linear text classifier's."""
+    bucket = F.pmod(tok_hash, F.lit(CLS_DIM))
+    return F.pmod(bucket * F.lit(CLS_MULT), F.lit(CLS_MOD)) - F.lit(
+        (CLS_MOD - 1) // 2
+    )
+
+
+def classifier_score(col: Column) -> Column:
+    """Hashed-feature linear classifier margin — the quality-filter
+    stage of a curation pipeline (CCNet/fasttext shape) with
+    deterministic weights so the score is oracle-exact.  The whole
+    model runs in INTEGER space (Σ w over tokens) with ONE float
+    division at the end (margin = Σw / (n·5003) ∈ [−1, 1]) — float
+    summation order can differ between engines, integer sums cannot.
+    Pure codegen fold, zero shuffle; a real weight vector would swap
+    classifier_weight for a broadcast map lookup with the same plan.
+    """
+    from ilogtail_spark.common import md5_hash64
+
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + classifier_weight(md5_hash64(t)),
+    )
+    return total / (F.size(toks) * F.lit(float((CLS_MOD - 1) // 2)))
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.withColumns(

@@ -185,3 +185,78 @@ def test_curation_pipeline_stages_nonvacuous(spark, sf_dir):
     assert decontaminate(base, bench).count() > 0
     out = entrymod.queries()["q71_curation_pipeline"](spark, sf_dir).collect()
     assert sum(r["n_docs"] for r in out) > len(out)  # packing packs
+
+
+# --------------------------------------------------------------------------
+# round 4: paragraph dedup / PII scrub / classifier score
+# --------------------------------------------------------------------------
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from ilogtail_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nalpha beta\nFOOTER"),
+            (2, "HEADER\ngamma delta\nFOOTER"),
+            (3, "HEADER"),  # all boilerplate -> dropped entirely
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, "text", "doc_id").collect()}
+    assert out[1]["text"] == "HEADER\nalpha beta\nFOOTER"
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (3, 0)
+    assert out[2]["text"] == "gamma delta"  # header+footer already seen
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 2)
+    assert 3 not in out  # empty after dedup -> dropped
+
+
+def test_paragraph_dedup_plan_no_nested_loop(spark):
+    from ilogtail_spark.functions.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame([(1, "a\nb")], "doc_id long, text string")
+    plan = (
+        paragraph_dedup(docs, "text", "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_rules_and_order(spark):
+    from ilogtail_spark.functions.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.co.uk call (415)-555-1212 "
+                "ssn 999-11-2222 ip 255.255.0.19 done"),
+            (2, "no pii here at all"),
+            # the phone rule must not eat the SSN (ssn redacts first)
+            (3, "123-45-6789 and 555-010-2222 x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df, "text").collect()}
+    r = out[1]
+    assert (r["n_email"], r["n_ssn"], r["n_phone"], r["n_ipv4"]) == (1, 1, 1, 1)
+    assert r["text_scrubbed"] == (
+        "mail <EMAIL> call <PHONE> ssn <SSN> ip <IP> done"
+    )
+    assert out[2]["text_scrubbed"] == "no pii here at all"
+    r3 = out[3]
+    assert (r3["n_ssn"], r3["n_phone"]) == (1, 1)
+    assert r3["text_scrubbed"] == "<SSN> and <PHONE> x"
+
+
+def test_classifier_score_deterministic_and_bounded(spark):
+    from ilogtail_spark.functions.textstats import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz")],
+        "doc_id long, text string",
+    )
+    out = df.select("doc_id", classifier_score(F.col("text")).alias("m")).collect()
+    m = {r["doc_id"]: r["m"] for r in out}
+    assert m[1] == m[2]  # deterministic
+    assert all(-1.0 <= v <= 1.0 for v in m.values())
