@@ -1839,17 +1839,12 @@ def _q_sls_pb(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
-    """service_canal row-event semantics (input_canal.go:345-420):
-    derive a canal-shaped binlog stream from transcripts — per conv a
-    keyed row whose lifecycle is row_insert (turn 0), row_update
+def _cdc_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Canal-shaped binlog stream derived from transcripts — per conv
+    a keyed row whose lifecycle is row_insert (turn 0), row_update
     (other turns, carrying the previous image as _old_text per
-    go:391-406), row_delete (turn_idx%7==3) — then replay it into
-    final table state with cdc_replay (ordered MERGE: last event per
-    key wins, a trailing delete removes the key).  One max_by hash
-    aggregation, no window sort (operators/cdc.py)."""
-    from ilogtail_spark.operators.cdc import cdc_replay
-
+    input_canal.go:391-406), row_delete (turn_idx%7==3).  Shared by
+    the replay (q79) and PackValues (q83) legs."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     ev = derive_transcripts(spark, sf).select(
         "conv_id",
@@ -1864,9 +1859,18 @@ def _q_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
         "text",
         "tool",
     )
-    ev = ev.withColumn("_old_text", F.lag("text").over(w))
+    return ev.withColumn("_old_text", F.lag("text").over(w))
+
+
+def _q_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """service_canal row-event semantics replayed into final table
+    state with cdc_replay (ordered MERGE: last event per key wins, a
+    trailing delete removes the key).  One max_by hash aggregation,
+    no window sort (operators/cdc.py)."""
+    from ilogtail_spark.operators.cdc import cdc_replay
+
     out = cdc_replay(
-        ev,
+        _cdc_events(spark, sf),
         key_cols=["conv_id"],
         order_col="turn_idx",
         value_cols=["_db_", "_table_", "role", "text", "tool", "_old_text"],
@@ -1875,6 +1879,17 @@ def _q_cdc_upsert(spark: SparkSession, sf: str) -> DataFrame:
         "conv_id", "final_event", F.col("last_turn_idx"),
         "_db_", "_table_", "role", "text", "tool",
         F.col("_old_text").alias("old_text"),
+    )
+
+
+def _q_cdc_pack_values(spark: SparkSession, sf: str) -> DataFrame:
+    """PackValues: true (input_canal.go:217-261): the same event
+    stream with non-meta fields marshaled into sorted-key data /
+    old_data JSON objects, empty map as '' — all codegen to_json."""
+    from ilogtail_spark.operators.cdc import canal_pack_values
+
+    return canal_pack_values(
+        _cdc_events(spark, sf), keep=["conv_id", "turn_idx"]
     )
 
 
@@ -1968,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
         "q79_cdc_upsert": _q_cdc_upsert,
+        "q83_cdc_pack_values": _q_cdc_pack_values,
         "q76_sls_pb": _q_sls_pb,
         "q77_otel_trace_pb": _q_otel_trace_pb,
         "q78_otel_metric_pb": _q_otel_metric_pb,
@@ -2544,6 +2560,27 @@ def oracle_sql() -> dict[str, str]:
                   _db_, _table_, role, text, tool,
                   _old_text AS old_text
            FROM last WHERE rn = 1 AND _event_ <> 'row_delete'""",
+        # q83: PackValues packing — sorted-key JSON via the q67
+        # concat idiom, empty old map as ''
+        "q83_cdc_pack_values": TRANSCRIPTS_CTE
+        + """,
+           ev AS (
+             SELECT conv_id, turn_idx,
+                    'agent' AS _db_, 'conv_state' AS _table_,
+                    CASE WHEN turn_idx = 0 THEN 'row_insert'
+                         WHEN turn_idx % 7 = 3 THEN 'row_delete'
+                         ELSE 'row_update' END AS _event_,
+                    role, text, tool,
+                    lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                      AS _old_text
+             FROM transcripts)
+           SELECT conv_id, turn_idx, _db_, _table_, _event_,
+                  CASE WHEN _old_text IS NULL THEN ''
+                       ELSE '{"_old_text":' || to_json(_old_text) || '}'
+                  END AS old_data,
+                  '{"role":' || to_json(role) || ',"text":' || to_json(text)
+                    || ',"tool":' || to_json(tool) || '}' AS data
+           FROM ev""",
         # q76: the pb encode∘decode roundtrip must reproduce every
         # field bit-for-bit from the base table
         "q76_sls_pb": TRANSCRIPTS_CTE

@@ -33,6 +33,50 @@ from pyspark.sql import functions as F
 
 DELETE = "row_delete"
 
+# input_canal.go:210-213 — fields that stay unpacked under PackValues
+CANAL_META_FIELDS = [
+    "_db_", "_event_", "_gtid_", "_host_", "_id_",
+    "_table_", "_filename_", "_offset_", "_event_time_",
+    "_event_log_postion_", "_event_size_", "_event_server_id_",
+]
+
+
+def canal_pack_values(
+    df: DataFrame,
+    keep: Sequence[str] | None = None,
+    meta_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """``PackValues: true`` (input_canal.go:217-261 addData): meta
+    fields pass through unchanged, every ``_old_*`` field marshals
+    into ONE ``old_data`` JSON object (prefix kept), every remaining
+    field into ``data`` — both with SORTED keys (Go json.Marshal map
+    order) and the empty map as ``""`` (not ``{}``, go:248-251).
+    ``keep`` carries non-canal columns (ids) through unpacked.
+    All codegen ``to_json``; null fields are omitted like Go's absent
+    map keys."""
+    meta_set = list(meta_cols or CANAL_META_FIELDS)
+    keep = list(keep or [])
+    meta = [c for c in df.columns if c in meta_set]
+    rest = [c for c in df.columns if c not in meta and c not in keep]
+    old = sorted(c for c in rest if c.startswith("_old_"))
+    new = sorted(c for c in rest if not c.startswith("_old_"))
+
+    def marshal(cols: list[str]):
+        if not cols:
+            return F.lit("")
+        j = F.to_json(F.struct(*[F.col(c).alias(c) for c in cols]))
+        all_null = cols and F.lit(True)
+        for c in cols:
+            all_null = all_null & F.col(c).isNull()
+        return F.when(all_null, F.lit("")).otherwise(j)
+
+    return df.select(
+        *keep,
+        *meta,
+        marshal(old).alias("old_data"),
+        marshal(new).alias("data"),
+    )
+
 
 def cdc_replay(
     df: DataFrame,

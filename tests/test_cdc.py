@@ -61,3 +61,25 @@ def test_cdc_replay_plan_is_single_partial_agg(spark):
 def test_cdc_replay_default_value_cols(spark):
     out = cdc_replay(_stream(spark).drop("_old_val"), ["k"], "pos")
     assert set(out.columns) == {"k", "final_event", "last_pos", "val"}
+
+
+def test_canal_pack_values(spark):
+    """input_canal.go:217-261 PackValues: meta unchanged, _old_* into
+    old_data, rest into data — sorted keys, empty map as ''."""
+    from ilogtail_spark.operators.cdc import canal_pack_values
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "agent", "row_update", "u1", "t", "old-t"),
+            ("b", 2, "agent", "row_insert", "u2", "s", None),
+        ],
+        "conv_id string, turn_idx int, _db_ string, _event_ string, "
+        "role string, text string, _old_text string",
+    )
+    out = {r["conv_id"]: r for r in
+           canal_pack_values(df, keep=["conv_id", "turn_idx"]).collect()}
+    assert out["a"]["old_data"] == '{"_old_text":"old-t"}'
+    assert out["a"]["data"] == '{"role":"u1","text":"t"}'  # sorted keys
+    assert out["b"]["old_data"] == ""  # empty map marshals to '' not '{}'
+    assert out["b"]["_db_"] == "agent" and out["b"]["_event_"] == "row_insert"
+    assert out["b"]["turn_idx"] == 2
