@@ -1972,6 +1972,53 @@ def _q_classifier_score(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb/C4-style per-domain frequency cap
+    (functions/sampling.py:domain_cap): keep at most 8 docs per
+    source, selected by the deterministic md5 hash — salted two-phase
+    top-N, no row_number window over a hot domain."""
+    from ilogtail_spark.functions.sampling import domain_cap
+
+    docs = load_table(spark, sf, "documents")
+    return domain_cap(docs, cap=8, domain_col="source", id_col="doc_id")
+
+
+def _q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line-level quality filters
+    (functions/textstats.py:c4_line_filters) over a deterministic
+    fixture: docs chunked into 12-word lines, then per line a planted
+    'lorem ipsum ' prefix ((doc*7+i)%11==0), ' {x}' suffix
+    ((doc+i)%13==0) and terminal '.' ((doc+i)%4!=0) — so every rule
+    (no-punct / short / lorem / brace) provably bites. Mirrored
+    verbatim in the oracle CTE (Spark transform index i is 0-based,
+    DuckDB generate_series is 1-based → i-1)."""
+    from ilogtail_spark.functions.textstats import c4_line_filters
+
+    docs = load_table(spark, sf, "documents")
+    body = F.regexp_replace(F.col("text"), r"((?:\S+ ){11}\S+) ", "$1\n")
+    planted = F.transform(
+        F.split(body, "\n"),
+        lambda l, i: F.concat(
+            F.when(
+                (F.col("doc_id") * 7 + i) % 11 == 0, F.lit("lorem ipsum ")
+            ).otherwise(F.lit("")),
+            l,
+            F.when((F.col("doc_id") + i) % 13 == 0, F.lit(" {x}")).otherwise(
+                F.lit("")
+            ),
+            F.when((F.col("doc_id") + i) % 4 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    fx = docs.select("doc_id", F.array_join(planted, "\n").alias("text"))
+    out = c4_line_filters(fx, "text", min_words=5, min_lines=3)
+    return out.select(
+        "doc_id", "n_lines", "n_no_punct", "n_short", "n_lorem", "n_brace",
+        "n_kept", "text_filtered",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -1979,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # checked get verified first; q01–q50 (driver-green in BOTH r02 and
     # r03) rotate to the tail. See BASELINE.md "Correctness artifact".
     head = {
+        "q84_domain_cap": _q_domain_cap,
+        "q85_c4_filters": _q_c4_filters,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2432,6 +2481,64 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        # q84: per-domain cap — the salted two-phase top-N must equal
+        # the plain row_number form (selection order (h, doc_id) asc)
+        "q84_domain_cap": r"""
+           WITH h AS (
+             SELECT source, doc_id,
+                    ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT AS hv
+             FROM documents),
+           r AS (
+             SELECT source, doc_id,
+                    row_number() OVER (PARTITION BY source
+                                       ORDER BY hv, doc_id) AS rk
+             FROM h)
+           SELECT source, CAST(rk AS INTEGER) AS rank, doc_id
+           FROM r WHERE rk <= 8""",
+        # q85: C4 line filters — fixture planting mirrored (DuckDB
+        # generate_series is 1-based, Spark transform index 0-based)
+        "q85_c4_filters": r"""
+           WITH fx0 AS (
+             SELECT doc_id,
+                    string_split(regexp_replace(text,
+                        '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'),
+                        chr(10)) AS l
+             FROM documents),
+           fx AS (
+             SELECT doc_id,
+                    list_transform(generate_series(1, len(l)), i ->
+                      CASE WHEN (doc_id*7 + (i-1)) % 11 = 0
+                           THEN 'lorem ipsum ' ELSE '' END
+                      || l[i]
+                      || CASE WHEN (doc_id + (i-1)) % 13 = 0
+                              THEN ' {x}' ELSE '' END
+                      || CASE WHEN (doc_id + (i-1)) % 4 <> 0
+                              THEN '.' ELSE '' END) AS lines
+             FROM fx0),
+           r AS (
+             SELECT doc_id,
+                    CAST(len(lines) AS INTEGER) AS n_lines,
+                    CAST(len(list_filter(lines, x ->
+                      NOT regexp_matches(x, '[.!?"]$'))) AS INTEGER)
+                      AS n_no_punct,
+                    CAST(len(list_filter(lines, x ->
+                      len(regexp_split_to_array(trim(x), '\s+')) < 5))
+                      AS INTEGER) AS n_short,
+                    CAST(len(list_filter(lines, x ->
+                      contains(x, 'lorem ipsum'))) AS INTEGER) AS n_lorem,
+                    CAST(len(list_filter(lines, x ->
+                      contains(x, '{'))) AS INTEGER) AS n_brace,
+                    list_filter(lines, x ->
+                      regexp_matches(x, '[.!?"]$')
+                      AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+                      AND NOT contains(x, 'lorem ipsum')
+                      AND NOT contains(x, '{')) AS kept
+             FROM fx)
+           SELECT doc_id, n_lines, n_no_punct, n_short, n_lorem, n_brace,
+                  CAST(len(kept) AS INTEGER) AS n_kept,
+                  array_to_string(kept, chr(10)) AS text_filtered
+           FROM r WHERE len(kept) >= 3""",
         # q80: paragraph dedup — fixture construction + first-global-
         # occurrence window + ordered string_agg rebuild, all mirrored
         "q80_paragraph_dedup": r"""

@@ -62,3 +62,51 @@ def stratified_sample(
     basis points). The whole operator is a filter fused into the scan
     stage."""
     return df.filter(keep_row(rates, stratum_col, id_col, default_rate))
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """RefinedWeb/C4-style per-domain frequency cap: keep at most
+    ``cap`` docs per domain, selected by the deterministic hash
+    ``md5_hash64('cap:' || id)`` so the survivors are a uniform draw
+    over the domain (no crawl-order bias), reproducible across
+    engines and cluster sizes.
+
+    100 TB shape: NOT ``row_number`` over ``partitionBy(domain)`` —
+    a hot domain (the web has 10^8-page hosts) funnels its whole
+    population through one task. Salted two-phase top-N instead:
+
+    1. per (domain, salt) partial top-``cap`` via
+       ``slice(array_sort(collect_list(struct(h,id))), 1, cap)`` —
+       ObjectHashAggregate with map-side partial combine, per-group
+       state bounded at ``cap`` structs;
+    2. final top-``cap`` per domain over at most
+       ``salt_buckets*cap`` survivors.
+
+    Selection order is (h, id) ascending — ties (h collisions) break
+    on the id, so the winner set is total-ordered and exact.
+    Output: (domain, rank, id) with rank 1..cap.
+    """
+    h = md5_hash64(F.concat(F.lit("cap:"), F.col(id_col).cast("string")))
+    salted = df.select(
+        F.col(domain_col).alias("_dom"),
+        F.struct(h.alias("h"), F.col(id_col).alias("id")).alias("_s"),
+    ).withColumn("_salt", F.pmod(F.col("_s.h"), F.lit(salt_buckets)))
+    part = salted.groupBy("_dom", "_salt").agg(
+        F.slice(F.array_sort(F.collect_list("_s")), 1, cap).alias("_top")
+    )
+    winners = part.groupBy("_dom").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, cap).alias("_win")
+    )
+    return winners.select(
+        F.col("_dom").alias(domain_col), F.posexplode("_win")
+    ).select(
+        domain_col,
+        (F.col("pos") + 1).alias("rank"),
+        F.col("col.id").alias(id_col),
+    )

@@ -272,3 +272,62 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).otherwise(F.lit(0.0)),
         }
     ).drop(wc, gc)
+
+
+def c4_line_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level quality filtering (Raffel et al. 2020 §2.2,
+    applied per line like the reference pipeline's line filters): a
+    line SURVIVES only if it
+
+      * ends in terminal punctuation (``. ! ? "``),
+      * has >= ``min_words`` whitespace words,
+      * does not contain the boilerplate marker ``lorem ipsum``,
+      * does not contain ``{`` (code/markup leak).
+
+    Docs with fewer than ``min_lines`` surviving lines are dropped
+    entirely (C4's short-page rule). Everything is one codegen pass —
+    split -> array lambdas -> array_join — zero shuffle; the whole
+    operator fuses into the scan and survives any scale-up untouched.
+    Per-rule counts are INDEPENDENT (a line failing two rules counts
+    in both) so downstream monitoring sees each rule's bite.
+    """
+    lines_c = "_c4_lines"
+    out = df.withColumn(lines_c, F.split(F.col(text_col), "\n"))
+    lines = F.col(lines_c)
+
+    def words(line: Column) -> Column:
+        return F.size(F.split(F.trim(line), r"\s+"))
+
+    def no_punct(line: Column) -> Column:
+        return ~line.rlike(r'[.!?"]$')
+
+    def short(line: Column) -> Column:
+        return words(line) < min_words
+
+    def lorem(line: Column) -> Column:
+        return F.instr(line, "lorem ipsum") > 0
+
+    def brace(line: Column) -> Column:
+        return F.instr(line, "{") > 0
+
+    def keep(line: Column) -> Column:
+        return ~no_punct(line) & ~short(line) & ~lorem(line) & ~brace(line)
+
+    kept = F.filter(lines, keep)
+    out = out.withColumns(
+        {
+            "n_lines": F.size(lines),
+            "n_no_punct": F.size(F.filter(lines, no_punct)),
+            "n_short": F.size(F.filter(lines, short)),
+            "n_lorem": F.size(F.filter(lines, lorem)),
+            "n_brace": F.size(F.filter(lines, brace)),
+            "n_kept": F.size(kept),
+            "text_filtered": F.array_join(kept, "\n"),
+        }
+    ).drop(lines_c)
+    return out.filter(F.col("n_kept") >= min_lines)

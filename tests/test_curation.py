@@ -260,3 +260,67 @@ def test_classifier_score_deterministic_and_bounded(spark):
     m = {r["doc_id"]: r["m"] for r in out}
     assert m[1] == m[2]  # deterministic
     assert all(-1.0 <= v <= 1.0 for v in m.values())
+
+
+def test_domain_cap_matches_window_form_and_bounds(spark):
+    """Salted two-phase top-N == plain row_number selection; every
+    domain keeps at most cap docs; selection is (h, id) ascending."""
+    from pyspark.sql import Window
+
+    from ilogtail_spark.common import md5_hash64
+    from ilogtail_spark.functions.sampling import domain_cap
+
+    df = spark.createDataFrame(
+        [(d, f"dom{d % 3}") for d in range(60)], "doc_id long, source string"
+    )
+    got = {
+        (r["source"], r["rank"]): r["doc_id"]
+        for r in domain_cap(df, cap=4, salt_buckets=4).collect()
+    }
+    h = md5_hash64(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    want = {
+        (r["source"], r["rank"]): r["doc_id"]
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+        .collect()
+    }
+    assert got == want
+    assert len(got) == 12  # 3 domains x cap 4
+
+
+def test_domain_cap_plan_has_no_window(spark):
+    """The 100 TB posture: no Window operator (hot-domain funnel);
+    two hash/object aggregates with a partial phase instead."""
+    from ilogtail_spark.functions.sampling import domain_cap
+
+    df = spark.createDataFrame(
+        [(d, f"dom{d % 3}") for d in range(30)], "doc_id long, source string"
+    )
+    plan = domain_cap(df, cap=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial" in plan.lower()  # map-side combine present
+
+
+def test_c4_line_filters_rules(spark):
+    from ilogtail_spark.functions.textstats import c4_line_filters
+
+    doc = "\n".join(
+        [
+            "this line is long enough to survive the filter.",  # keep
+            "too short.",  # short
+            "no terminal punctuation on this line here",  # no punct
+            "lorem ipsum filler text that would otherwise pass.",  # lorem
+            "a code leak { appears in this long line here.",  # brace
+            "another perfectly fine surviving line right here!",  # keep
+            'quoted line endings also count as terminal marks"',  # keep
+        ]
+    )
+    df = spark.createDataFrame([(1, doc), (2, "tiny.")], "doc_id long, text string")
+    out = c4_line_filters(df, "text", min_words=5, min_lines=3).collect()
+    assert len(out) == 1  # doc 2 dropped: < 3 surviving lines
+    r = out[0]
+    assert (r["n_lines"], r["n_kept"]) == (7, 3)
+    assert (r["n_no_punct"], r["n_short"]) == (1, 1)
+    assert (r["n_lorem"], r["n_brace"]) == (1, 1)
+    assert r["text_filtered"].split("\n")[1].startswith("another perfectly")
