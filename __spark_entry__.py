@@ -2019,6 +2019,74 @@ def _q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (functions/similarity.py:semantic_dedup): k-means
+    cluster the embeddings (one deterministic Lloyd refinement,
+    integer-quantized centroid update) then prune semantic duplicates
+    within clusters. Planted 1.5x-scaled copies (ids +100000, cosine
+    exactly 1.0 with their originals, identical cluster + rounded
+    cos_centroid) are provably dropped by the ties-drop-larger-id
+    rule; every original is kept."""
+    from ilogtail_spark.functions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.5).cast("float")
+        ).alias("embedding"),
+    )
+    return semantic_dedup(emb.unionByName(copies), k=8, threshold=0.99)
+
+
+def _semantic_dedup_oracle(k: int = 8, threshold: float = 0.99) -> str:
+    """DuckDB twin of semantic_dedup over the q86 fixture: same seed
+    quantizer (id < k), same rounded-cosine argmax with cid tie-break,
+    the SAME integer-quantized centroid update (exact BIGINT sums, one
+    double division), same within-cluster prune rule."""
+    return f"""
+        WITH aug AS (
+          SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 (list_transform(embedding,
+                    x -> CAST(CAST(x AS DOUBLE) * 1.5 AS FLOAT)))::DOUBLE[]
+          FROM embeddings WHERE vec_id < 20),
+        seeds AS (SELECT id AS cid, v AS cv FROM aug WHERE id < {k}),
+        s0 AS (SELECT a.id, a.v, c.cid, {_cos_sql('a.v', 'c.cv')} AS ccos
+               FROM aug a CROSS JOIN seeds c),
+        r0 AS (SELECT *, row_number() OVER (
+                 PARTITION BY id ORDER BY ccos DESC, cid) AS rn FROM s0),
+        a0 AS (SELECT id, v, cid FROM r0 WHERE rn = 1),
+        qv AS (SELECT cid, list_transform(v,
+                 x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS q FROM a0),
+        e AS (SELECT cid, unnest(list_transform(generate_series(1, len(q)),
+                 i -> {{'pos': i, 'qq': q[i]}})) AS u FROM qv),
+        sm AS (SELECT cid, u.pos AS pos, SUM(u.qq) AS sq, COUNT(*) AS n
+               FROM e GROUP BY cid, u.pos),
+        cent AS (SELECT cid, list(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                   ORDER BY pos) AS cv FROM sm GROUP BY cid),
+        s1 AS (SELECT a.id, a.v, c.cid, {_cos_sql('a.v', 'c.cv')} AS ccos
+               FROM aug a CROSS JOIN cent c),
+        r1 AS (SELECT *, row_number() OVER (
+                 PARTITION BY id ORDER BY ccos DESC, cid) AS rn FROM s1),
+        a1 AS (SELECT id, v, cid AS cluster, ccos AS cos_centroid
+               FROM r1 WHERE rn = 1),
+        p AS (SELECT a.id AS id_a, b.id AS id_b,
+                     a.cos_centroid AS ca, b.cos_centroid AS cb,
+                     {_cos_sql('a.v', 'b.v')} AS pc
+              FROM a1 a JOIN a1 b
+                ON a.cluster = b.cluster AND a.id < b.id),
+        losers AS (SELECT DISTINCT
+                     CASE WHEN ca > cb THEN id_a
+                          WHEN cb > ca THEN id_b
+                          ELSE greatest(id_a, id_b) END AS id
+                   FROM p WHERE pc >= {threshold})
+        SELECT a1.id AS vec_id, cluster, cos_centroid,
+               (l.id IS NULL) AS kept
+        FROM a1 LEFT JOIN losers l ON a1.id = l.id"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -2028,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     head = {
         "q84_domain_cap": _q_domain_cap,
         "q85_c4_filters": _q_c4_filters,
+        "q86_semantic_dedup": _q_semantic_dedup,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2481,6 +2550,9 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         "q27_ann_lsh": _ann_lsh_oracle(),
         "q50_ann_ivf": _ann_ivf_oracle(),
+        # q86: SemDeDup — clustering + integer-quantized centroid
+        # update + within-cluster prune, exact twin
+        "q86_semantic_dedup": _semantic_dedup_oracle(),
         # q84: per-domain cap — the salted two-phase top-N must equal
         # the plain row_number form (selection order (h, doc_id) asc)
         "q84_domain_cap": r"""

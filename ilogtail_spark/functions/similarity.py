@@ -144,6 +144,49 @@ def ann_lsh_topk(
     )
 
 
+def _argmax_cells(
+    df: DataFrame,
+    cents_arr: DataFrame,
+    idname: str,
+    vecname: str,
+    n: int,
+    with_cos: bool = False,
+) -> DataFrame:
+    """Nearest-``n`` centroid cells per row: ONE broadcast row carrying
+    all centroids (cid, cv, cvn), cell choice a narrow per-row argmax
+    over the inline array — no corpus-wide shuffle. The row vector's
+    norm materializes once; the division keeps the exact float op
+    order of cosine() so scores stay bit-identical to the oracle.
+    Ranking structs are (neg rounded cos, cid): ascending order = cos
+    desc, cid asc — the deterministic tie-break."""
+    scored = df.crossJoin(F.broadcast(cents_arr)).withColumn(
+        "_vn", norm(F.col(vecname))
+    )
+    ranked = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (
+                -F.round(
+                    dot(F.col(vecname), c["cv"]) / (F.col("_vn") * c["cvn"]), 6
+                )
+            ).alias("_ncos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    if n == 1:
+        # min of (neg cos, cid) = highest cos, smallest cid on ties
+        best = F.array_min(ranked)  # O(n_centroids), no sort
+        cols = [idname, vecname, best["cid"].alias("cid")]
+        if with_cos:
+            cols.append((-best["_ncos"]).alias("cos_centroid"))
+        return scored.select(*cols)
+    top = F.slice(F.array_sort(ranked), 1, n)
+    return (
+        scored.withColumn("_t", F.explode(top))
+        .select(idname, vecname, F.col("_t.cid").alias("cid"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -187,31 +230,7 @@ def ivf_topk(
     )
 
     def assign(df: DataFrame, idname: str, vecname: str, n: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cents_arr)).withColumn(
-            "_vn", norm(F.col(vecname))
-        )
-        # (neg cos, cid) structs: ascending order = cos desc, cid asc —
-        # the same tie-break as the previous window ranking
-        ranked = F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(
-                (
-                    -F.round(
-                        dot(F.col(vecname), c["cv"]) / (F.col("_vn") * c["cvn"]), 6
-                    )
-                ).alias("_ncos"),
-                c["cid"].alias("cid"),
-            ),
-        )
-        if n == 1:
-            # min of (neg cos, cid) = highest cos, smallest cid on ties
-            best = F.array_min(ranked)  # O(16), no sort
-            return scored.select(idname, vecname, best["cid"].alias("cid"))
-        top = F.slice(F.array_sort(ranked), 1, n)
-        return (
-            scored.withColumn("_t", F.explode(top))
-            .select(idname, vecname, F.col("_t.cid").alias("cid"))
-        )
+        return _argmax_cells(df, cents_arr, idname, vecname, n)
 
     cells = assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
@@ -292,6 +311,128 @@ def embedding_neardup_pairs(
         cand.withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then prune semantic duplicates
+    WITHIN clusters only — the paper's trick that bounds the O(n²)
+    pairwise cosine comparison to per-cluster populations (pick k so
+    n/k stays manageable; the cluster id is the only shuffle key).
+
+    One deterministic Lloyd refinement: seeds are the vectors with
+    ``id < k`` (broadcast, same quantizer convention as ivf_topk);
+    assignment is the narrow per-row argmax over the broadcast
+    centroid array; the centroid UPDATE runs in QUANTIZED integer
+    space — components ``floor(x*quant_scale)`` summed exactly as
+    BIGINTs per (cell, pos), mean = one double division of two exact
+    integers — so float summation ORDER can never fork the engines
+    (the classic cross-engine k-means trap); re-assignment against
+    the refined centroids uses the shared rounded-cosine argmax.
+
+    Within each final cluster, a pair with cosine >= ``threshold``
+    is a semantic duplicate; the member closer to the centroid (the
+    more 'typical' one, per the paper's keep-the-outlier variant) is
+    dropped — ties drop the larger id. Output: one row per vector,
+    ``(id, cluster, cos_centroid, kept)``.
+
+    At real scale persist the assignment before the self-join (it is
+    consumed twice); at this harness scale Catalyst just recomputes
+    the narrow argmax, which is cheaper than a shuffle-write.
+    """
+    v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seeds = v.filter(F.col("_id") < k)
+    cents0 = seeds.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("_id").alias("cid"),
+                    F.col("_v").alias("cv"),
+                    norm(F.col("_v")).alias("cvn"),
+                )
+            )
+        ).alias("_cents")
+    )
+    a0 = _argmax_cells(v, cents0, "_id", "_v", 1)
+    # centroid update in integer space: exact BIGINT sums per
+    # (cell, position) — a (k*dim)-row aggregate, map-side combined
+    q = a0.select(
+        F.col("cid"),
+        F.posexplode(
+            F.transform(
+                F.col("_v"),
+                lambda x: F.floor(x.cast("double") * F.lit(float(quant_scale))),
+            )
+        ).alias("pos", "q"),
+    )
+    s = q.groupBy("cid", "pos").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    cent2 = (
+        s.select(
+            "cid",
+            F.struct(
+                F.col("pos"),
+                (F.col("sq").cast("double") / F.col("n").cast("double")).alias(
+                    "m"
+                ),
+            ).alias("_pm"),
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("_pm")), lambda t: t["m"]
+            ).alias("cv")
+        )
+    )
+    cents1 = cent2.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("cid"), F.col("cv"), norm(F.col("cv")).alias("cvn")
+                )
+            )
+        ).alias("_cents")
+    )
+    a1 = _argmax_cells(v, cents1, "_id", "_v", 1, with_cos=True).select(
+        "_id", "_v", F.col("cid").alias("cluster"), "cos_centroid"
+    )
+    a, b = a1.alias("a"), a1.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b.cluster"))
+        & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a.cos_centroid").alias("ca"),
+        F.col("b.cos_centroid").alias("cb"),
+        F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("pc"),
+    )
+    losers = (
+        pairs.filter(F.col("pc") >= threshold)
+        .select(
+            F.when(F.col("ca") > F.col("cb"), F.col("id_a"))
+            .when(F.col("cb") > F.col("ca"), F.col("id_b"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("_id")
+        )
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return a1.join(losers, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        "cluster",
+        "cos_centroid",
+        F.col("_dropped").isNull().alias("kept"),
     )
 
 

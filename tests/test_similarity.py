@@ -86,3 +86,49 @@ def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
         for r in ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8).collect()
     }
     assert ivf == exact
+
+
+def test_semantic_dedup_drops_planted_copies(spark, sf_dir):
+    """Exact 1.5x-scaled copies share the cluster and rounded
+    cos_centroid of their originals (cosine is scale-invariant), so
+    the ties-drop-larger-id rule removes exactly the copies."""
+    from ilogtail_spark.functions.similarity import semantic_dedup
+    from ilogtail_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * 1.5).cast("float")
+        ).alias("embedding"),
+    )
+    out = semantic_dedup(emb.unionByName(copies), k=4, threshold=0.99)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n = emb.count()
+    assert len(rows) == n + 6
+    for i in range(6):
+        orig, cp = rows[i], rows[i + 100000]
+        assert cp["cluster"] == orig["cluster"]
+        assert cp["cos_centroid"] == orig["cos_centroid"]
+        assert orig["kept"] and not cp["kept"]
+    # every non-planted vector survives (random 64-dim vectors are
+    # nowhere near cosine 0.99 of each other)
+    assert sum(not r["kept"] for r in rows.values()) == 6
+    # clusters are the seed ids
+    assert {r["cluster"] for r in rows.values()} <= set(range(4))
+
+
+def test_semantic_dedup_assignment_plan_is_narrow(spark, sf_dir):
+    """The per-vector argmax must stay a broadcast cross join — no
+    hash-partition exchange of the corpus before assignment (the
+    shuffles are the k*dim centroid aggregate and the bounded
+    within-cluster self-join only)."""
+    from ilogtail_spark.functions.similarity import semantic_dedup
+    from ilogtail_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = (
+        semantic_dedup(emb, k=4)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
