@@ -179,6 +179,10 @@ def _argmax_cells(
         cols = [idname, vecname, best["cid"].alias("cid")]
         if with_cos:
             cols.append((-best["_ncos"]).alias("cos_centroid"))
+            # the row norm is already materialized — callers doing
+            # pairwise cosines downstream reuse it instead of
+            # re-folding both norms per PAIR
+            cols.append(F.col("_vn"))
         return scored.select(*cols)
     top = F.slice(F.array_sort(ranked), 1, n)
     return (
@@ -321,6 +325,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant_scale: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then prune semantic duplicates
@@ -344,9 +349,11 @@ def semantic_dedup(
     dropped — ties drop the larger id. Output: one row per vector,
     ``(id, cluster, cos_centroid, kept)``.
 
-    At real scale persist the assignment before the self-join (it is
-    consumed twice); at this harness scale Catalyst just recomputes
-    the narrow argmax, which is cheaper than a shuffle-write.
+    The assignment is localCheckpointed before the self-join (it is
+    consumed three times — both join branches and the final output)
+    and each vector's norm rides along from the argmax, so a pair
+    costs ONE dot fold, not three (``materialize=False`` keeps the
+    pure-lazy plan for plan-shape inspection).
     """
     v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     seeds = v.filter(F.col("_id") < k)
@@ -403,8 +410,10 @@ def semantic_dedup(
         ).alias("_cents")
     )
     a1 = _argmax_cells(v, cents1, "_id", "_v", 1, with_cos=True).select(
-        "_id", "_v", F.col("cid").alias("cluster"), "cos_centroid"
+        "_id", "_v", F.col("cid").alias("cluster"), "cos_centroid", "_vn"
     )
+    if materialize:
+        a1 = a1.localCheckpoint(eager=True)
     a, b = a1.alias("a"), a1.alias("b")
     pairs = a.join(
         b,
@@ -415,7 +424,13 @@ def semantic_dedup(
         F.col("b._id").alias("id_b"),
         F.col("a.cos_centroid").alias("ca"),
         F.col("b.cos_centroid").alias("cb"),
-        F.round(cosine(F.col("a._v"), F.col("b._v")), 6).alias("pc"),
+        # one dot fold per pair — norms ride from the assignment, and
+        # the op order (dot / (x*y)) matches cosine() exactly
+        F.round(
+            dot(F.col("a._v"), F.col("b._v"))
+            / (F.col("a._vn") * F.col("b._vn")),
+            6,
+        ).alias("pc"),
     )
     losers = (
         pairs.filter(F.col("pc") >= threshold)

@@ -128,7 +128,7 @@ def test_semantic_dedup_assignment_plan_is_narrow(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     plan = (
-        semantic_dedup(emb, k=4)._jdf.queryExecution().executedPlan().toString()
+        semantic_dedup(emb, k=4, materialize=False)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
