@@ -2087,6 +2087,46 @@ def _semantic_dedup_oracle(k: int = 8, threshold: float = 0.99) -> str:
         FROM a1 LEFT JOIN losers l ON a1.id = l.id"""
 
 
+def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher document-level quality rules
+    (functions/textstats.py:gopher_quality) over a planted fixture:
+    12-word lines; every doc_id%5==0 doc bulleted ('- ' per line),
+    every (doc_id+i)%6==0 line ellipsis-suffixed, doc_id%3==0 docs
+    get ' of that with' (stopword rule passes only for them),
+    doc_id%7==0 docs get ' # ## ###' (symbol-ratio breach). Every
+    rule provably bites in both directions; all metrics are exact
+    integer counts or one division of two exact integers."""
+    from ilogtail_spark.functions.textstats import gopher_quality
+
+    docs = load_table(spark, sf, "documents")
+    body = F.regexp_replace(F.col("text"), r"((?:\S+ ){11}\S+) ", "$1\n")
+    planted = F.transform(
+        F.split(body, "\n"),
+        lambda l, i: F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+            l,
+            F.when((F.col("doc_id") + i) % 6 == 0, F.lit("...")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    text = F.concat(
+        F.array_join(planted, "\n"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" of that with")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" # ## ###")).otherwise(
+            F.lit("")
+        ),
+    )
+    fx = docs.select("doc_id", text.alias("text"))
+    return gopher_quality(fx).select(
+        "doc_id", "word_count", "mean_word_len", "symbol_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_frac", "n_stopwords",
+        "gopher_keep",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -2097,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_domain_cap": _q_domain_cap,
         "q85_c4_filters": _q_c4_filters,
         "q86_semantic_dedup": _q_semantic_dedup,
+        "q87_gopher_quality": _q_gopher_quality,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2553,6 +2594,92 @@ def oracle_sql() -> dict[str, str]:
         # q86: SemDeDup — clustering + integer-quantized centroid
         # update + within-cluster prune, exact twin
         "q86_semantic_dedup": _semantic_dedup_oracle(),
+        # q87: Gopher doc-quality rules — every metric an exact
+        # integer count or one exact-integer division; keep computed
+        # on the UNROUNDED doubles in both engines
+        "q87_gopher_quality": r"""
+           WITH fx0 AS (
+             SELECT doc_id,
+                    string_split(regexp_replace(text,
+                        '((?:\S+ ){11}\S+) ', '\1' || chr(10), 'g'),
+                        chr(10)) AS l
+             FROM documents),
+           fx1 AS (
+             SELECT doc_id,
+                    list_transform(generate_series(1, len(l)), i ->
+                      CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END
+                      || l[i]
+                      || CASE WHEN (doc_id + (i-1)) % 6 = 0
+                              THEN '...' ELSE '' END) AS pl
+             FROM fx0),
+           fx AS (
+             SELECT doc_id,
+                    array_to_string(pl, chr(10))
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN ' of that with' ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN ' # ## ###' ELSE '' END AS text
+             FROM fx1),
+           m AS (
+             SELECT doc_id,
+                    regexp_split_to_array(trim(text), '\s+') AS words,
+                    string_split(text, chr(10)) AS lines,
+                    len(text) - len(replace(text, '#', '')) AS n_hash,
+                    (len(text) - len(replace(text, '...', ''))) / 3 AS n_ell
+             FROM fx),
+           c AS (
+             SELECT doc_id,
+                    len(words) AS n_words,
+                    len(lines) AS n_lines,
+                    list_reduce(list_prepend(0::BIGINT,
+                      list_transform(words, w -> CAST(len(w) AS BIGINT))),
+                      (a, b) -> a + b) AS sum_len,
+                    n_hash, n_ell,
+                    len(list_filter(lines,
+                      x -> substr(x, 1, 2) = '- ' OR substr(x, 1, 1) = '•'))
+                      AS n_bul,
+                    len(list_filter(lines,
+                      x -> right(x, 3) = '...')) AS n_ell_lines,
+                    len(list_filter(words,
+                      x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+                    CAST(list_contains(words, 'and') AS INTEGER)
+                    + CAST(list_contains(words, 'be') AS INTEGER)
+                    + CAST(list_contains(words, 'have') AS INTEGER)
+                    + CAST(list_contains(words, 'of') AS INTEGER)
+                    + CAST(list_contains(words, 'that') AS INTEGER)
+                    + CAST(list_contains(words, 'the') AS INTEGER)
+                    + CAST(list_contains(words, 'to') AS INTEGER)
+                    + CAST(list_contains(words, 'with') AS INTEGER)
+                      AS n_stop
+             FROM m),
+           d AS (
+             SELECT doc_id,
+                    n_words,
+                    CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      AS mean_wl,
+                    (CAST(n_hash AS DOUBLE) + n_ell)
+                      / CAST(n_words AS DOUBLE) AS sym,
+                    CAST(n_bul AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                      AS bul,
+                    CAST(n_ell_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                      AS ell,
+                    CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                      AS alpha,
+                    n_stop
+             FROM c)
+           SELECT doc_id,
+                  CAST(n_words AS INTEGER) AS word_count,
+                  round(mean_wl, 6) AS mean_word_len,
+                  round(sym, 6) AS symbol_ratio,
+                  round(bul, 6) AS bullet_frac,
+                  round(ell, 6) AS ellipsis_frac,
+                  round(alpha, 6) AS alpha_frac,
+                  n_stop AS n_stopwords,
+                  (n_words >= 50 AND n_words <= 100000
+                   AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                   AND sym <= 0.1 AND bul <= 0.9 AND ell <= 0.3
+                   AND alpha >= 0.8 AND n_stop >= 2) AS gopher_keep
+           FROM d""",
         # q84: per-domain cap — the salted two-phase top-N must equal
         # the plain row_number form (selection order (h, doc_id) asc)
         "q84_domain_cap": r"""

@@ -331,3 +331,87 @@ def c4_line_filters(
         }
     ).drop(lines_c)
     return out.filter(F.col("n_kept") >= min_lines)
+
+
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021 §A1.1,
+    the full table — complements repetition_stats which covers the
+    repetition block): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (# and ...), bullet-line and ellipsis-line
+    fractions, alphabetic-word fraction, and the >= ``min_stopwords``
+    distinct-stopword requirement.
+
+    Every metric is an exact integer count or a single division of
+    two exact integers (IEEE-exact in both engines — no float
+    summation order anywhere), so the whole operator is oracle-exact.
+    One codegen pass, zero shuffle; the quality FILTER downstream is
+    a plain Catalyst predicate over these columns.
+    """
+    t = F.col(text_col)
+    wc, lc = "_gq_words", "_gq_lines"
+    out = df.withColumn(wc, F.split(F.trim(t), r"\s+")).withColumn(
+        lc, F.split(t, "\n")
+    )
+    words, lines = F.col(wc), F.col(lc)
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("•"))
+    )
+    n_ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    n_alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    n_stop = F.aggregate(
+        F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        F.lit(0),
+        lambda a, s: a + F.when(F.array_contains(words, s), 1).otherwise(0),
+    )
+    mean_wl = sum_len.cast("double") / n_words.cast("double")
+    sym_ratio = (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    bullet_frac = n_bullet_lines.cast("double") / n_lines.cast("double")
+    ellipsis_frac = n_ellipsis_lines.cast("double") / n_lines.cast("double")
+    alpha_frac = n_alpha_words.cast("double") / n_words.cast("double")
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (n_stop >= min_stopwords)
+    )
+    return out.withColumns(
+        {
+            "word_count": n_words,
+            "mean_word_len": F.round(mean_wl, 6),
+            "symbol_ratio": F.round(sym_ratio, 6),
+            "bullet_frac": F.round(bullet_frac, 6),
+            "ellipsis_frac": F.round(ellipsis_frac, 6),
+            "alpha_frac": F.round(alpha_frac, 6),
+            "n_stopwords": n_stop,
+            "gopher_keep": keep,
+        }
+    ).drop(wc, lc)

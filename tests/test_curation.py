@@ -324,3 +324,22 @@ def test_c4_line_filters_rules(spark):
     assert (r["n_no_punct"], r["n_short"]) == (1, 1)
     assert (r["n_lorem"], r["n_brace"]) == (1, 1)
     assert r["text_filtered"].split("\n")[1].startswith("another perfectly")
+
+
+def test_gopher_quality_rules(spark):
+    from ilogtail_spark.functions.textstats import gopher_quality
+
+    long_good = " ".join(["the quick brown fox of that kind jumps"] * 8)
+    bullets = "\n".join(["- short line here"] * 4)
+    symbols = "the " * 60 + "# " * 20
+    df = spark.createDataFrame(
+        [(1, long_good), (2, "tiny doc."), (3, bullets), (4, symbols)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           gopher_quality(df, min_stopwords=2).collect()}
+    assert out[1]["gopher_keep"]  # 64 words, stopwords the/of/that
+    assert out[1]["n_stopwords"] == 3
+    assert not out[2]["gopher_keep"]  # word_count < 50
+    assert out[3]["bullet_frac"] == 1.0 and not out[3]["gopher_keep"]
+    assert out[4]["symbol_ratio"] > 0.1 and not out[4]["gopher_keep"]
