@@ -41,6 +41,27 @@ def streaming_transcripts(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("text",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The training-data exact-dedup stage as a CONTINUOUS operator:
+    the first occurrence of each key survives, duplicates arriving in
+    any later microbatch are dropped against the streaming state
+    store. ``dropDuplicatesWithinWatermark`` bounds that state by
+    EVENT TIME — a key's entry expires once the watermark passes it —
+    which is the only shape that survives an unbounded stream (plain
+    ``dropDuplicates`` on a stream retains every key forever). The
+    trade, documented: a duplicate arriving later than ``watermark``
+    after its first occurrence is re-admitted; pick the horizon from
+    the dedup-recall SLO, not from memory limits."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def _foreach_batch_writer(
     stream: DataFrame,
     transform: Callable[[DataFrame], DataFrame],

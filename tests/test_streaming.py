@@ -304,3 +304,52 @@ processors:
         for r in collected
     }
     assert got == exp and len(collected) == len(exp)
+
+
+def test_streaming_exact_dedup_across_microbatches(spark, tmp_path):
+    """Planted duplicate texts land in DIFFERENT source files (hence
+    different microbatches with maxFilesPerTrigger=1); the state store
+    must still drop them — one survivor per distinct text."""
+    import datetime
+
+    from ilogtail_spark.streaming.job import streaming_exact_dedup
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for f in range(3):
+        for i in range(10):
+            # texts repeat across files: t0..t9 in every file
+            rows.append((f"c{f}", i, "user", f"t{i}", "search",
+                         t0 + datetime.timedelta(seconds=f * 60 + i)))
+    schema = ("conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp")
+    src = str(tmp_path / "dedup_src")
+    df = spark.createDataFrame(rows, schema)
+    # one file per source batch
+    for f in range(3):
+        df.filter(F.col("conv_id") == f"c{f}").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_exact_dedup(stream, key_cols=("text",), watermark="1 hour")
+    collected = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda batch, _eid: collected.extend(
+                batch.select("conv_id", "text").collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    texts = [r["text"] for r in collected]
+    assert sorted(texts) == sorted({f"t{i}" for i in range(10)})
+    # survivors are FIRST occurrences (file c0 sorts first by ts)
+    assert {r["conv_id"] for r in collected} == {"c0"}
