@@ -44,7 +44,7 @@ def _force(df) -> int:
     return -1
 
 
-def run_queries(sf_dir: str, cores: int) -> dict:
+def run_queries(sf_dir: str, cores: int) -> tuple[dict, dict]:
     from ilogtail_spark.session import get_spark
 
     import __spark_entry__ as entry

@@ -110,7 +110,12 @@ def paragraph_dedup(
 
     paras = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        # \Q..\E: sep is a LITERAL in both directions — F.split takes a
+        # regex but array_join rebuilds with the raw string, so an
+        # unquoted metacharacter sep ('.', '||') would corrupt docs
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "_pos", "_para"
+        ),
     ).withColumn("_h", md5_hash64(F.col("_para")))
     winners = paras.groupBy("_h").agg(
         F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")

@@ -102,7 +102,11 @@ def lsh_sign_bucket(
     independent plane set, so banded callers can derive B disjoint
     signatures from the same deterministic family."""
     if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        first = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
         dim = first["d"] if first else 0
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
@@ -279,6 +283,17 @@ def embedding_neardup_pairs(
     (≈1k rows/bucket), then bands for the recall target. The defaults
     (16, 4) are the shape demo; at 10^12 rows use ~30 planes."""
     all_bands = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if dim is None:
+        # probe ONCE for all bands (each lsh_sign_bucket call would
+        # otherwise submit its own driver job to learn the same
+        # constant); skip NULL vectors so row 1 being dirty cannot
+        # crash plan build
+        first = (
+            all_bands.filter(F.col("_v").isNotNull())
+            .select(F.size("_v").alias("d"))
+            .first()
+        )
+        dim = first["d"] if first else 0
     for b in range(bands):
         all_bands = lsh_sign_bucket(
             all_bands, "_v", num_planes, bucket_col=f"_bkt{b}",

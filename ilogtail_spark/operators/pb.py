@@ -23,6 +23,7 @@ same plans swap the UDF for ``from_protobuf`` unchanged.
 
 from __future__ import annotations
 
+import base64
 import json
 import struct
 from typing import Any, Iterator
@@ -237,8 +238,11 @@ def encode_message(msg: dict, desc: dict) -> bytes:
                 write_varint(out, len(body))
                 out += body
             elif kind in ("string", "bytes", "hex"):
+                # bytes arriving from a protojson dict are base64 TEXT
+                # (the wire form's JSON rendering); raw bytes pass through
                 raw = (v.encode("utf-8") if kind == "string"
-                       else bytes.fromhex(v) if kind == "hex" else v)
+                       else bytes.fromhex(v) if kind == "hex"
+                       else base64.b64decode(v) if isinstance(v, str) else v)
                 write_varint(out, (fno << 3) | _WT_LEN)
                 write_varint(out, len(raw))
                 out += raw
@@ -586,14 +590,16 @@ def sls_pb_encode_groups(
             lg = []
             for r in lgs:
                 log = {
-                    "time": int(r["_t"]),
+                    # NULL time -> 0, the proto3 default (absent on the
+                    # wire) — one dirty row must not abort the encode
+                    "time": 0 if r["_t"] is None else int(r["_t"]),
                     "contents": [
                         {"key": c,
                          "value": "" if r[c] is None else r[c]}
                         for c in ccols
                     ],
                 }
-                if has_ns:
+                if has_ns and r["_ns"] is not None:
                     log["timeNs"] = int(r["_ns"])
                 lg.append(log)
             group = {"logs": lg, "source": source, "logTags": taglist}
@@ -628,7 +634,14 @@ def otlp_pb_to_json_udf(root: str):
                 return None
             try:
                 return json.dumps(
-                    decode_message(bytes(b), desc), separators=(",", ":")
+                    decode_message(bytes(b), desc),
+                    separators=(",", ":"),
+                    # protojson encodes `bytes` fields (e.g. a
+                    # bytesValue attribute) as base64 — without this a
+                    # single bytes attribute voided the WHOLE document
+                    default=lambda o: base64.b64encode(o).decode("ascii")
+                    if isinstance(o, (bytes, bytearray))
+                    else str(o),
                 )
             except Exception:
                 return None

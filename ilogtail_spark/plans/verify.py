@@ -126,9 +126,17 @@ def log_context_valid(
         F.col(pack_col).alias("_pack"),
     )
     w = Window.partitionBy("_prefix").orderBy("_ord")
-    wp = Window.partitionBy("_prefix")
+    # pack index in ARRIVAL order (the Go verifier walks the stream
+    # carrying expected seq): running count of pack-id changes — packs
+    # arriving out of order (seq 2 before 1) or re-appearing after an
+    # interleave now fail, as log_context.go:111-136 would
+    new_pack = F.when(
+        F.lag("_pack").over(w).isNull()
+        | (F.lag("_pack").over(w) != F.col("_pack")),
+        1,
+    ).otherwise(0)
     x = x.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_dr", F.dense_rank().over(Window.partitionBy("_prefix").orderBy("_seq"))
+        "_dr", F.sum(new_pack).over(w)
     ).withColumn("_c0", F.first("_content").over(w))
     # a malformed pack id (no '-', non-hex seq) nulls _seq → flagged
     bad = _violations(

@@ -327,3 +327,24 @@ def test_log_field_verifiers_negative(spark):
     with pytest.raises(AssertionError, match="KV a"):
         verify.log_field_kv(df, {"a": r"^x\d$"})  # second log lacks 'a'
     verify.log_field_kv(df.limit(1), {"a": r"^x\d$"})
+
+
+def test_log_context_pack_seq_is_arrival_order(spark):
+    """Packs arriving out of order (seq 2's rows before seq 1's) must
+    fail pack_seq even though the seq SET is contiguous — the Go
+    verifier walks arrival order (log_context.go:111-136)."""
+    rows = [
+        # arrival order: pack -2 first, then pack -1 (no runs 1..4 to
+        # keep log_seq/content checks clean)
+        ("P-2", 1, "1", "c"),
+        ("P-2", 2, "2", "c"),
+        ("P-1", 3, "3", "c"),
+        ("P-1", 4, "4", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "__pack_id__ string, _ord int, no string, content string"
+    ).withColumn(
+        "contents", contents_map(("no", F.col("no")), ("content", F.col("content")))
+    )
+    with pytest.raises(AssertionError, match="pack sequence"):
+        verify.log_context_valid(df, order_col="_ord")

@@ -214,3 +214,33 @@ def test_sls_pb_registry_and_invalid_drop(spark):
     assert rows[0]["contents"] == {"k": "v"}
     with pytest.raises(ValueError):
         OPERATORS["processor_parse_from_pb_native"](Protocol="LoongSuite")
+
+
+def test_otlp_pb_bytes_attribute_survives(spark):
+    """A span attribute carrying bytesValue must not void the whole
+    document: protojson renders bytes as base64 (the round-trip UDFs
+    are exercised through Spark so the fix is covered where it runs)."""
+    import base64 as b64
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    doc = {
+        "resourceSpans": [{
+            "resource": {"attributes": [
+                {"key": "blob", "value": {"bytesValue": b64.b64encode(b"\x01\x02").decode()}}
+            ]},
+            "scopeSpans": [{"spans": [{"name": "s1"}]}],
+        }]
+    }
+    # fixture-side encode expects protojson (base64 str) -> wire bytes
+    from ilogtail_spark.operators.pb import otlp_json_to_pb_udf, otlp_pb_to_json_udf
+
+    df = spark.createDataFrame([(1, _json.dumps(doc))], "id long, otel string")
+    df = df.withColumn("pb", otlp_json_to_pb_udf("trace")(F.col("otel")))
+    out = df.withColumn("back", otlp_pb_to_json_udf("trace")(F.col("pb"))).collect()[0]
+    assert out["back"] is not None, "bytesValue voided the document"
+    rt = _json.loads(out["back"])
+    attr = rt["resourceSpans"][0]["resource"]["attributes"][0]
+    assert attr["value"]["bytesValue"] == b64.b64encode(b"\x01\x02").decode()
+    assert rt["resourceSpans"][0]["scopeSpans"][0]["spans"][0]["name"] == "s1"
