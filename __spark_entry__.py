@@ -2127,6 +2127,127 @@ def _q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH dedup candidate RECALL vs exact n-gram-Jaccard
+    truth, bucketed by similarity — the dedup analogue of q75's ANN
+    recall@k, measuring the LSH S-curve on planted near-dups: every
+    doc_id%9==0 doc gets a PREFIX copy keeping the first
+    0.3+(doc_id%7)*0.1 fraction of its words, spreading planted
+    Jaccard across buckets 0.3-0.9 so the curve has a body. Truth =
+    UNCAPPED inverted-index exact Jaccard >= 0.3; found = the
+    verified minhash_lsh_pairs output (a subset of truth by
+    construction, so precision is 1 and recall is the whole story).
+    Index-quality measurement is itself oracle-exact."""
+    from ilogtail_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    frac = F.lit(0.3) + (F.col("doc_id") % 7) * F.lit(0.1)
+    prefix = F.array_join(
+        F.slice(w, F.lit(1), F.floor(F.size(w) * frac).cast("int")), " "
+    )
+    copies = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), prefix.alias("text")
+    )
+    aug = docs.unionByName(copies)
+    truth = ngram_jaccard_pairs(aug, threshold=0.3, max_doc_freq=None)
+    cand = (
+        minhash_lsh_pairs(
+            aug, num_hashes=16, bands=8, jaccard_threshold=0.3
+        )
+        .select("id_a", "id_b")
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
+    j = truth.join(cand, ["id_a", "id_b"], "left")
+    return (
+        j.groupBy(
+            F.floor(F.col("jaccard") * 10).cast("int").alias("j_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias("n_found"),
+        )
+        .withColumn(
+            "recall",
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_truth").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def _dedup_recall_oracle(
+    num_hashes: int = 16, bands: int = 8, threshold: float = 0.3
+) -> str:
+    """DuckDB twin of q88: same planted fixture (1-based index bridge),
+    same uncapped exact-Jaccard truth (threshold on the UNROUNDED
+    ratio, like the operator), same 16-hash/8-band LSH collisions."""
+    rows = num_hashes // bands
+    ms = ", ".join(
+        f"list_min(list_transform(sh, s -> ('0x' || substr(md5('{i}:' || s), "
+        f"1, 15)::VARCHAR)::BIGINT)) AS m{i}"
+        for i in range(num_hashes)
+    )
+    band_sel = "\n               UNION ALL\n".join(
+        f"               SELECT doc_id, {b} AS band_idx, md5("
+        + " || ',' || ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + ") AS band_hash FROM sig"
+        for b in range(bands)
+    )
+    return rf"""
+      WITH raw AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000,
+               array_to_string(list_transform(
+                 generate_series(1, CAST(floor(
+                   len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                   * (0.3 + (doc_id % 7) * 0.1)) AS BIGINT)),
+                 i -> regexp_split_to_array(lower(trim(text)), '\s+')[i]),
+                 ' ')
+        FROM documents WHERE doc_id % 9 = 0),
+      _w AS (SELECT doc_id,
+                    regexp_split_to_array(lower(trim(text)), '\s+') AS w
+             FROM raw),
+      sh AS (SELECT doc_id,
+               list_distinct(CASE WHEN len(w) >= 3
+                 THEN list_transform(range(len(w)-2),
+                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+                 ELSE [array_to_string(w, ' ')] END) AS sh
+             FROM _w),
+      inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh),
+      tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    a.n AS na, b.n AS nb, count(*) AS inter
+             FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4
+             HAVING count(*) / (a.n + b.n - count(*)) >= {threshold}),
+      truth AS (SELECT id_a, id_b,
+                       round(inter / (na + nb - inter), 6) AS jaccard
+                FROM tp),
+      sig AS (SELECT doc_id, {ms} FROM sh),
+      bandt AS (
+{band_sel}),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+               FROM bandt a JOIN bandt b
+                 ON a.band_idx = b.band_idx
+                AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id)
+      SELECT CAST(floor(truth.jaccard * 10) AS INTEGER) AS j_bucket,
+             CAST(count(*) AS BIGINT) AS n_truth,
+             CAST(count(c.id_a) AS BIGINT) AS n_found,
+             round(CAST(count(c.id_a) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+                   6) AS recall
+      FROM truth LEFT JOIN cand c
+        ON truth.id_a = c.id_a AND truth.id_b = c.id_b
+      GROUP BY 1"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -2138,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_c4_filters": _q_c4_filters,
         "q86_semantic_dedup": _q_semantic_dedup,
         "q87_gopher_quality": _q_gopher_quality,
+        "q88_dedup_recall": _q_dedup_recall,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2594,6 +2716,8 @@ def oracle_sql() -> dict[str, str]:
         # q86: SemDeDup — clustering + integer-quantized centroid
         # update + within-cluster prune, exact twin
         "q86_semantic_dedup": _semantic_dedup_oracle(),
+        # q88: LSH recall S-curve vs exact-Jaccard truth
+        "q88_dedup_recall": _dedup_recall_oracle(),
         # q87: Gopher doc-quality rules — every metric an exact
         # integer count or one exact-integer division; keep computed
         # on the UNROUNDED doubles in both engines
