@@ -2145,10 +2145,14 @@ def _q_dedup_recall(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    frac = F.lit(0.3) + (F.col("doc_id") % 7) * F.lit(0.1)
-    prefix = F.array_join(
-        F.slice(w, F.lit(1), F.floor(F.size(w) * frac).cast("int")), " "
-    )
+    # keep-count in INTEGER space: floor(n*(3+k)/10), exact-int product
+    # then one double division — 0.3+k*0.1 as doubles forks from
+    # DuckDB's DECIMAL arithmetic at k=4 (0.6999... vs 0.7 exactly)
+    keep_n = F.floor(
+        (F.size(w) * (F.lit(3) + (F.col("doc_id") % 7).cast("int")))
+        / F.lit(10.0)
+    ).cast("int")
+    prefix = F.array_join(F.slice(w, F.lit(1), keep_n), " ")
     copies = docs.filter(F.col("doc_id") % 9 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), prefix.alias("text")
     )
@@ -2207,8 +2211,8 @@ def _dedup_recall_oracle(
         SELECT doc_id + 200000,
                array_to_string(list_transform(
                  generate_series(1, CAST(floor(
-                   len(regexp_split_to_array(lower(trim(text)), '\s+'))
-                   * (0.3 + (doc_id % 7) * 0.1)) AS BIGINT)),
+                   (len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                    * (3 + doc_id % 7)) / 10.0) AS BIGINT)),
                  i -> regexp_split_to_array(lower(trim(text)), '\s+')[i]),
                  ' ')
         FROM documents WHERE doc_id % 9 = 0),

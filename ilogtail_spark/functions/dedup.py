@@ -112,10 +112,15 @@ def paragraph_dedup(
         F.col(id_col).alias("_id"),
         # \Q..\E: sep is a LITERAL in both directions — F.split takes a
         # regex but array_join rebuilds with the raw string, so an
-        # unquoted metacharacter sep ('.', '||') would corrupt docs
-        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
-            "_pos", "_para"
-        ),
+        # unquoted metacharacter sep ('.', '||') would corrupt docs.
+        # An embedded \E would end the quote early; re-open around it
+        # exactly as java.util.regex.Pattern.quote does
+        F.posexplode(
+            F.split(
+                F.col(text_col),
+                "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E",
+            )
+        ).alias("_pos", "_para"),
     ).withColumn("_h", md5_hash64(F.col("_para")))
     winners = paras.groupBy("_h").agg(
         F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")

@@ -82,6 +82,19 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
+def _probe_dim(df: DataFrame, vec_col: str) -> int:
+    """Fallback dimensionality probe: ONE driver job reading the first
+    non-NULL vector. Callers should pass dim explicitly (they know
+    their schema) — at 100 TB this reads row 1 of the table to learn a
+    constant."""
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return first["d"] if first else 0
+
+
 def lsh_sign_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -102,12 +115,7 @@ def lsh_sign_bucket(
     independent plane set, so banded callers can derive B disjoint
     signatures from the same deterministic family."""
     if dim is None:
-        first = (
-            df.filter(F.col(vec_col).isNotNull())
-            .select(F.size(F.col(vec_col)).alias("d"))
-            .first()
-        )
-        dim = first["d"] if first else 0
+        dim = _probe_dim(df, vec_col)
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + p)])
@@ -285,15 +293,8 @@ def embedding_neardup_pairs(
     all_bands = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if dim is None:
         # probe ONCE for all bands (each lsh_sign_bucket call would
-        # otherwise submit its own driver job to learn the same
-        # constant); skip NULL vectors so row 1 being dirty cannot
-        # crash plan build
-        first = (
-            all_bands.filter(F.col("_v").isNotNull())
-            .select(F.size("_v").alias("d"))
-            .first()
-        )
-        dim = first["d"] if first else 0
+        # otherwise submit its own driver job for the same constant)
+        dim = _probe_dim(all_bands, "_v")
     for b in range(bands):
         all_bands = lsh_sign_bucket(
             all_bands, "_v", num_planes, bucket_col=f"_bkt{b}",

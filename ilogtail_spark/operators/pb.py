@@ -590,8 +590,9 @@ def sls_pb_encode_groups(
             lg = []
             for r in lgs:
                 log = {
-                    # NULL time -> 0, the proto3 default (absent on the
-                    # wire) — one dirty row must not abort the encode
+                    # NULL time -> 0, WRITTEN on the wire (Log.time is
+                    # proto2 required; encode_message serializes present
+                    # zeros) — one dirty row must not abort the encode
                     "time": 0 if r["_t"] is None else int(r["_t"]),
                     "contents": [
                         {"key": c,
