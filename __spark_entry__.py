@@ -2311,6 +2311,39 @@ def _q_syslog_parse(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_nginx_status(spark: SparkSession, sf: str) -> DataFrame:
+    """nginx stub_status page parse (input_nginx.go:120-170;
+    operators/nginx.py) over synthesized pages — every 11th page
+    MALFORMED (all-NULL fields). Closed-form oracle: the parse must
+    invert the page synthesis."""
+    from ilogtail_spark.operators.nginx import nginx_status_parse
+
+    t = derive_transcripts(spark, sf).select("conv_id", "turn_idx")
+    turn = F.col("turn_idx")
+    page = F.when(
+        turn % 11 == 0, F.lit("<html>not a status page</html>")
+    ).otherwise(
+        F.concat(
+            F.lit("Active connections: "), (turn % 100).cast("string"),
+            F.lit(" \nserver accepts handled requests\n "),
+            (turn * 31).cast("string"), F.lit(" "),
+            (turn * 29).cast("string"), F.lit(" "),
+            (turn * 53).cast("string"),
+            F.lit(" \nReading: "), (turn % 7).cast("string"),
+            F.lit(" Writing: "), (turn % 13).cast("string"),
+            F.lit(" Waiting: "), (turn % 17).cast("string"),
+            F.lit(" \n"),
+        )
+    )
+    out = nginx_status_parse(
+        t.select("conv_id", "turn_idx", page.alias("page")), "page"
+    )
+    return out.select(
+        "conv_id", "turn_idx", "active", "accepts", "handled", "requests",
+        "reading", "writing", "waiting",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -2324,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_gopher_quality": _q_gopher_quality,
         "q88_dedup_recall": _q_dedup_recall,
         "q89_syslog_parse": _q_syslog_parse,
+        "q90_nginx_status": _q_nginx_status,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2782,6 +2816,25 @@ def oracle_sql() -> dict[str, str]:
         "q86_semantic_dedup": _semantic_dedup_oracle(),
         # q88: LSH recall S-curve vs exact-Jaccard truth
         "q88_dedup_recall": _dedup_recall_oracle(),
+        # q90: closed-form nginx stub_status twin
+        "q90_nginx_status": TRANSCRIPTS_CTE
+        + """
+           SELECT conv_id, turn_idx,
+                  CASE WHEN turn_idx % 11 = 0 THEN NULL
+                       ELSE CAST(turn_idx % 100 AS VARCHAR) END AS active,
+                  CASE WHEN turn_idx % 11 = 0 THEN NULL
+                       ELSE CAST(turn_idx * 31 AS VARCHAR) END AS accepts,
+                  CASE WHEN turn_idx % 11 = 0 THEN NULL
+                       ELSE CAST(turn_idx * 29 AS VARCHAR) END AS handled,
+                  CASE WHEN turn_idx % 11 = 0 THEN NULL
+                       ELSE CAST(turn_idx * 53 AS VARCHAR) END AS requests,
+                  CASE WHEN turn_idx % 11 = 0 THEN NULL
+                       ELSE CAST(turn_idx % 7 AS VARCHAR) END AS reading,
+                  CASE WHEN turn_idx % 11 = 0 THEN NULL
+                       ELSE CAST(turn_idx % 13 AS VARCHAR) END AS writing,
+                  CASE WHEN turn_idx % 11 = 0 THEN NULL
+                       ELSE CAST(turn_idx % 17 AS VARCHAR) END AS waiting
+           FROM transcripts""",
         # q89: closed-form syslog twin — the parse must invert the
         # line synthesis field-for-field
         "q89_syslog_parse": TRANSCRIPTS_CTE

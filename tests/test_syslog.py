@@ -142,3 +142,23 @@ def test_rfc5424_no_sd_no_msg_edges(spark):
     assert rows[0]["_content_"] == "" and rows[0]["_structured_data_"] is None
     assert rows[1]["_hostname_"] is None and rows[1]["_program_"] == ""
     assert rows[1]["_content_"] == "hi"
+
+
+def test_nginx_status_parse(spark):
+    """input_nginx.go:120-170 — the real stub_status page shape, plus
+    a malformed page yielding NULLs."""
+    from ilogtail_spark.operators.nginx import nginx_status_parse
+
+    good = ("Active connections: 291 \n"
+            "server accepts handled requests\n"
+            " 16630948 16630948 31070465 \n"
+            "Reading: 6 Writing: 179 Waiting: 106 \n")
+    df = spark.createDataFrame([(1, good), (2, "oops")], "i long, page string")
+    rows = {r["i"]: r for r in nginx_status_parse(df, "page").collect()}
+    r = rows[1]
+    assert (r["active"], r["accepts"], r["handled"], r["requests"]) == (
+        "291", "16630948", "16630948", "31070465")
+    assert (r["reading"], r["writing"], r["waiting"]) == ("6", "179", "106")
+    assert all(rows[2][c] is None for c in
+               ["active", "accepts", "handled", "requests",
+                "reading", "writing", "waiting"])
