@@ -2344,6 +2344,57 @@ def _q_nginx_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
+    """flusher_prometheus remote-write encode∘decode roundtrip
+    (pkg/protocol/encoder/prometheus/utils.go:44-86;
+    operators/pb.py:prom_remote_write_encode): synthesized metric rows
+    batch into WriteRequests (one per 64-bucket group), travel as
+    prompb wire bytes, decode back and explode — the closed-form
+    oracle checks every label (sorted, empties dropped), sample value
+    and ms timestamp survives the wire bit-for-bit."""
+    from ilogtail_spark.operators.pb import (
+        prom_remote_write_encode,
+        prom_wr_to_json_udf,
+    )
+
+    t = derive_transcripts(spark, sf)
+    turn = F.col("turn_idx")
+    m = t.select(
+        F.pmod(F.conv(F.substring(F.md5("conv_id"), 1, 8), 16, 10).cast("long")
+               * 31 + turn, F.lit(64)).alias("batch"),
+        F.concat(F.lit("metric_"), F.pmod(turn, F.lit(4)).cast("string")).alias("mname"),
+        (turn.cast("double") / F.lit(8.0)).alias("mval"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.concat(F.lit("h"), F.pmod(turn, F.lit(5)).cast("string")).alias("host"),
+        F.col("tool"),
+        # empty on %3 rows — the spec-mandated drop must bite
+        F.when(turn % 3 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("n"), F.pmod(turn, F.lit(2)).cast("string"))
+        ).alias("note"),
+    )
+    enc = prom_remote_write_encode(
+        m, ["batch"], "mname", "mval", "ts_ms", ["host", "tool", "note"]
+    )
+    js = enc.withColumn("js", prom_wr_to_json_udf()(F.col("pb")))
+    schema = (
+        "timeseries array<struct<labels: array<struct<name:string,"
+        "value:string>>, samples: array<struct<value:double,"
+        "timestamp:bigint>>>>"
+    )
+    out = js.select(
+        F.explode(F.from_json("js", schema)["timeseries"]).alias("s")
+    )
+    labels = F.col("s.labels")
+    return out.select(
+        F.element_at(
+            F.filter(labels, lambda lb: lb["name"] == "__name__"), 1
+        )["value"].alias("name"),
+        F.to_json(labels).alias("labels_json"),
+        F.element_at(F.col("s.samples"), 1)["value"].alias("value"),
+        F.element_at(F.col("s.samples"), 1)["timestamp"].alias("ts_ms"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -2358,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_dedup_recall": _q_dedup_recall,
         "q89_syslog_parse": _q_syslog_parse,
         "q90_nginx_status": _q_nginx_status,
+        "q91_prom_remote_write": _q_prom_remote_write,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2816,6 +2868,29 @@ def oracle_sql() -> dict[str, str]:
         "q86_semantic_dedup": _semantic_dedup_oracle(),
         # q88: LSH recall S-curve vs exact-Jaccard truth
         "q88_dedup_recall": _dedup_recall_oracle(),
+        # q91: closed-form prom remote-write twin — labels sorted
+        # ('__name__' < 'host' < 'note' < 'tool'), empties dropped,
+        # dyadic double values + int64 ms survive the wire exactly
+        "q91_prom_remote_write": TRANSCRIPTS_CTE
+        + """
+           SELECT 'metric_' || CAST(turn_idx % 4 AS VARCHAR) AS name,
+                  '[{"name":"__name__","value":'
+                  || to_json('metric_' || CAST(turn_idx % 4 AS VARCHAR))
+                  || '},{"name":"host","value":'
+                  || to_json('h' || CAST(turn_idx % 5 AS VARCHAR)) || '}'
+                  || CASE WHEN turn_idx % 3 <> 0
+                          THEN ',{"name":"note","value":'
+                               || to_json('n' || CAST(turn_idx % 2 AS VARCHAR))
+                               || '}'
+                          ELSE '' END
+                  || CASE WHEN tool IS NOT NULL AND tool <> ''
+                          THEN ',{"name":"tool","value":' || to_json(tool)
+                               || '}'
+                          ELSE '' END
+                  || ']' AS labels_json,
+                  CAST(turn_idx AS DOUBLE) / 8.0 AS value,
+                  epoch_ms(ts) AS ts_ms
+           FROM transcripts""",
         # q90: closed-form nginx stub_status twin
         "q90_nginx_status": TRANSCRIPTS_CTE
         + """

@@ -685,3 +685,104 @@ def _pb_factory(**cfg):
     keep = cfg_pop(cfg, "Keep", "keep", default=None)
     drop_invalid = bool(cfg_pop(cfg, "DropInvalid", default=True))
     return lambda df: sls_pb_decode(df, source, keep=keep, drop_invalid=drop_invalid)
+
+
+# ---------------------------------------------------------------------------
+# Prometheus remote-write (prompb) — flusher_prometheus's wire format
+# (pkg/protocol/encoder/prometheus/utils.go:44-60; plugins/flusher/
+# prometheus/flusher_prometheus_test.go pins the expected WriteRequests)
+# ---------------------------------------------------------------------------
+
+PROM_LABEL = {
+    1: ("name", "string", False, None),
+    2: ("value", "string", False, None),
+}
+PROM_SAMPLE = {
+    1: ("value", "double", False, None),
+    2: ("timestamp", "int", False, None),
+}
+PROM_TIMESERIES = {
+    1: ("labels", "message", True, PROM_LABEL),
+    2: ("samples", "message", True, PROM_SAMPLE),
+}
+PROM_WRITE_REQUEST = {1: ("timeseries", "message", True, PROM_TIMESERIES)}
+
+
+def prom_remote_write_encode(
+    df,
+    group_cols: list[str],
+    name_col: str,
+    value_col: str,
+    ts_ms_col: str,
+    tag_cols: list[str],
+):
+    """Encode one remote-write ``WriteRequest`` per group — the
+    flusher_prometheus serializer (utils.go:44-60): per metric row one
+    TimeSeries with labels = tag columns (key = column name; empty or
+    NULL values DROPPED per the remote-write spec, utils.go:70-76)
+    plus ``__name__``, sorted lexicographically by label name
+    (utils.go:82-86), and ONE sample (double value, int64 ms
+    timestamp — the encoder's ns→ms division happens at the caller as
+    unix_millis, avoiding big-int precision loss in doubles).
+
+    Same scale shape as sls_pb_encode_groups: ONE hash aggregate then
+    a scalar Arrow-batched pandas UDF — one Python call per Arrow
+    batch of groups, never per group."""
+    from pyspark.sql import functions as F
+
+    tcols = list(tag_cols)
+    struct_fields = [
+        F.col(name_col).cast("string").alias("_n"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(ts_ms_col).cast("long").alias("_t"),
+    ] + [F.col(c).cast("string").alias(c) for c in tcols]
+    aggd = df.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list(F.struct(*struct_fields))).alias("_series")
+    )
+
+    @F.pandas_udf("binary")
+    def enc(series: pd.Series) -> pd.Series:
+        def one(rows):
+            ts_list = []
+            for r in rows:
+                labels = [{"name": "__name__", "value": r["_n"] or ""}]
+                for c in tcols:
+                    v = r[c]
+                    if v:  # empty/NULL label values dropped (spec)
+                        labels.append({"name": c, "value": v})
+                labels.sort(key=lambda lb: lb["name"])
+                ts_list.append({
+                    "labels": labels,
+                    "samples": [{
+                        "value": float(r["_v"]),
+                        "timestamp": int(r["_t"]),
+                    }],
+                })
+            return encode_message({"timeseries": ts_list}, PROM_WRITE_REQUEST)
+
+        return pd.Series([one(rows) for rows in series.tolist()])
+
+    return aggd.select(*group_cols, enc(F.col("_series")).alias("pb"))
+
+
+def prom_wr_to_json_udf():
+    """WriteRequest wire bytes -> json string (the decode leg for
+    roundtrip verification; a remote-write RECEIVER's shape)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def conv(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            try:
+                return json.dumps(
+                    decode_message(bytes(b), PROM_WRITE_REQUEST),
+                    separators=(",", ":"),
+                )
+            except Exception:
+                return None
+
+        return s.map(one)
+
+    return conv

@@ -244,3 +244,43 @@ def test_otlp_pb_bytes_attribute_survives(spark):
     attr = rt["resourceSpans"][0]["resource"]["attributes"][0]
     assert attr["value"]["bytesValue"] == b64.b64encode(b"\x01\x02").decode()
     assert rt["resourceSpans"][0]["scopeSpans"][0]["spans"][0]["name"] == "s1"
+
+
+def test_prom_remote_write_encode(spark):
+    """flusher_prometheus_test.go semantics: one TimeSeries per metric
+    event (same labelsets NOT aggregated), labels lexicographically
+    sorted with __name__ merged in, empty label values dropped, sample
+    = (double value, ms timestamp)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from ilogtail_spark.operators.pb import (
+        PROM_WRITE_REQUEST,
+        decode_message,
+        prom_remote_write_encode,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cpu", 0.5, 1000, "h1", ""),      # empty tag dropped
+            (1, "cpu", 0.5, 2000, "h1", "x"),     # same labels, NOT merged
+            (2, "mem", 2.0, 3000, "h2", "y"),
+        ],
+        "b long, n string, v double, t long, host string, zone string",
+    )
+    out = {r["b"]: r["pb"] for r in prom_remote_write_encode(
+        df, ["b"], "n", "v", "t", ["host", "zone"]).collect()}
+    wr1 = decode_message(bytes(out[1]), PROM_WRITE_REQUEST)
+    assert len(wr1["timeseries"]) == 2  # no labelset aggregation
+    s0 = wr1["timeseries"][0]
+    assert [lb["name"] for lb in s0["labels"]] == ["__name__", "host"]
+    assert s0["samples"] == [{"value": 0.5, "timestamp": 1000}]
+    s1 = wr1["timeseries"][1]
+    assert [lb["name"] for lb in s1["labels"]] == ["__name__", "host", "zone"]
+    wr2 = decode_message(bytes(out[2]), PROM_WRITE_REQUEST)
+    assert wr2["timeseries"][0]["labels"] == [
+        {"name": "__name__", "value": "mem"},
+        {"name": "host", "value": "h2"},
+        {"name": "zone", "value": "y"},
+    ]
