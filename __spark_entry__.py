@@ -2352,6 +2352,7 @@ def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     prompb wire bytes, decode back and explode — the closed-form
     oracle checks every label (sorted, empties dropped), sample value
     and ms timestamp survives the wire bit-for-bit."""
+    from ilogtail_spark.common import md5_hash64
     from ilogtail_spark.operators.pb import (
         prom_remote_write_encode,
         prom_wr_to_json_udf,
@@ -2360,8 +2361,9 @@ def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     t = derive_transcripts(spark, sf)
     turn = F.col("turn_idx")
     m = t.select(
-        F.pmod(F.conv(F.substring(F.md5("conv_id"), 1, 8), 16, 10).cast("long")
-               * 31 + turn, F.lit(64)).alias("batch"),
+        # batch key from THE shared hash primitive (CLAUDE.md: one
+        # md5→int definition only); +turn stays under 2^63
+        F.pmod(md5_hash64(F.col("conv_id")) + turn, F.lit(64)).alias("batch"),
         F.concat(F.lit("metric_"), F.pmod(turn, F.lit(4)).cast("string")).alias("mname"),
         (turn.cast("double") / F.lit(8.0)).alias("mval"),
         F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),

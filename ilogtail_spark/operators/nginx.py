@@ -29,21 +29,25 @@ def nginx_status_parse(df: DataFrame, source_col: str = "page") -> DataFrame:
     """Parse a stub_status page column into the reference's seven
     fields (input_nginx.go:160-168): active, accepts, handled,
     requests, reading, writing, waiting — raw numeric tokens as
-    strings. Empty extraction (page malformed) -> NULL."""
+    strings. Empty extraction (page malformed) -> NULL.
+
+    Each pattern runs ONCE per row: the raw extracts materialize in
+    their own projection (branch subexpressions are not deduplicated
+    by codegen) and nullif — not a when/otherwise that re-evaluates
+    the extract — maps '' to NULL."""
     page = F.col(source_col)
-
-    def tok(pat: str, group: int):
-        v = F.regexp_extract(page, pat, group)
-        return F.when(v == "", F.lit(None).cast("string")).otherwise(v)
-
-    return df.withColumns(
-        {
-            "active": tok(_ACTIVE_RE, 1),
-            "accepts": tok(_AHR_RE, 1),
-            "handled": tok(_AHR_RE, 2),
-            "requests": tok(_AHR_RE, 3),
-            "reading": tok(_RWW_RE, 1),
-            "writing": tok(_RWW_RE, 2),
-            "waiting": tok(_RWW_RE, 3),
-        }
-    )
+    raw = {
+        "_act": F.regexp_extract(page, _ACTIVE_RE, 1),
+        "_ahr1": F.regexp_extract(page, _AHR_RE, 1),
+        "_ahr2": F.regexp_extract(page, _AHR_RE, 2),
+        "_ahr3": F.regexp_extract(page, _AHR_RE, 3),
+        "_rww1": F.regexp_extract(page, _RWW_RE, 1),
+        "_rww2": F.regexp_extract(page, _RWW_RE, 2),
+        "_rww3": F.regexp_extract(page, _RWW_RE, 3),
+    }
+    out = df.withColumns(raw)
+    names = ["active", "accepts", "handled", "requests",
+             "reading", "writing", "waiting"]
+    return out.withColumns(
+        {n: F.nullif(F.col(c), F.lit("")) for n, c in zip(names, raw)}
+    ).drop(*raw)

@@ -39,11 +39,12 @@ _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
 
 # <PRI>Mon  d hh:mm:ss REST   (day may be space-padded: 'Aug  2')
-_RFC3164_RE = (
+_RFC3164_HDR = (
     r"^<(\d{1,3})>("
     + "|".join(_MONTHS)
-    + r")\s{1,2}(\d{1,2}) (\d{2}):(\d{2}):(\d{2}) (.*)$"
+    + r")\s{1,2}(\d{1,2}) (\d{2}):(\d{2}):(\d{2}) "
 )
+_RFC3164_RE = _RFC3164_HDR + r"(.*)$"
 # tag[:pid]: content   (polkitd[457]: ..., LOGSTASH[-]: ..., su: ...)
 _TAG_RE = r"^([^:\[\s]+)(?:\[[^\]]*\])?: ?"
 # <PRI>1 TIMESTAMP HOSTNAME APP PROCID MSGID TAIL(SD + MSG)
@@ -86,6 +87,24 @@ def _sd_json(sd: Column) -> Column:
     return F.concat(F.lit("{"), F.array_join(elems, ","), F.lit("}"))
 
 
+_SEP = "\x1e\x1d\x1f"  # parse.py's one-pass sentinel (no log format emits it)
+
+
+def _grp(arr_col: str, line: Column, pat: str, n: int, i: int) -> Column:
+    """Group ``i`` from the materialized one-pass array: element when
+    the replace fired (size == n), NULL on a sentinel-free miss, exact
+    per-group fallback for (rare) sentinel-carrying rows — the
+    parse.py one-pass contract."""
+    a = F.col(arr_col)
+    return (
+        F.when(a.isNotNull() & (F.size(a) == n), F.element_at(a, i))
+        .when(a.isNotNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.when(line.rlike(pat), F.regexp_extract(line, pat, i))
+        )
+    )
+
+
 def syslog_parse(
     df: DataFrame,
     source_col: str = "line",
@@ -100,53 +119,86 @@ def syslog_parse(
     parser.go:181-186). ``with_hostname=False`` is the reference's
     AddHostname unixgram case (syslog.go:54): the header carries no
     hostname token, so the first post-timestamp token is the TAG.
+
+    Perf shape: each grammar costs ONE regex run per row — the
+    start-anchored pattern extracts every group via a single
+    sentinel-joined regexp_replace materialized in its own projection
+    (parse.py's one-pass idiom; per-group regexp_extract under
+    conditional branches is NOT deduplicated by codegen and would run
+    the pattern ~15x per row). Calendar-invalid RFC3164 fields (Feb
+    30, hour 99) fail via try_make_timestamp into the normal
+    parse-failure row instead of an ANSI DateTimeException.
     """
     line = F.col(source_col)
-    m3 = line.rlike(_RFC3164_RE)
-    rest3 = F.regexp_extract(line, _RFC3164_RE, 7)
-    host3 = (
-        F.regexp_extract(rest3, r"^(\S+) ", 1)
-        if with_hostname
-        else F.lit("")
+    # with hostname the host and message are grammar groups 8/9;
+    # without, the whole remainder (group 7) IS the message
+    pat3 = (
+        _RFC3164_HDR + r"(\S+) (.*)$" if with_hostname else _RFC3164_RE
     )
-    msg3 = (
-        F.regexp_replace(rest3, r"^\S+ ", "") if with_hostname else rest3
+    n3 = 8 if with_hostname else 7
+    rep3 = _SEP.join(f"${i + 1}" for i in range(n3))
+    rep5 = _SEP.join(f"${i + 1}" for i in range(7))
+
+    def onepass(pat: str, rep: str) -> Column:
+        return F.when(
+            line.isNotNull() & ~line.contains(_SEP),
+            F.split(
+                F.regexp_replace(line, f"(?:{pat})[\\s\\S]*", rep), _SEP, -1
+            ),
+        )
+
+    df = df.withColumns(
+        {"_s3": onepass(pat3, rep3), "_s5": onepass(_RFC5424_RE, rep5)}
     )
+
+    def g3(i: int) -> Column:
+        return _grp("_s3", line, pat3, n3, i)
+
+    def g5(i: int) -> Column:
+        return _grp("_s5", line, _RFC5424_RE, 7, i)
+
+    host3 = g3(7) if with_hostname else F.lit("")
+    # materialize the short per-row strings the tag/SD regexes run on
+    df = df.withColumns(
+        {
+            "_m3": g3(8) if with_hostname else g3(7),
+            "_t5": g5(7),
+            "_pri3": g3(1).try_cast("int"),
+            "_pri5": g5(1).try_cast("int"),
+            "_ts3": F.try_make_timestamp(
+                F.lit(default_year),
+                F.array_position(
+                    F.array(*[F.lit(m) for m in _MONTHS]), g3(2)
+                ).cast("int"),
+                g3(3).try_cast("int"),
+                g3(4).try_cast("int"),
+                g3(5).try_cast("int"),
+                g3(6).try_cast("int"),
+            ),
+            "_ts5": F.try_to_timestamp(g5(2)),
+        }
+    )
+    msg3, tail5 = F.col("_m3"), F.col("_t5")
+    pri3, pri5 = F.col("_pri3"), F.col("_pri5")
+    ts3, ts5 = F.col("_ts3"), F.col("_ts5")
     prog3 = F.regexp_extract(msg3, _TAG_RE, 1)
     content3 = F.when(prog3 == "", msg3).otherwise(
         F.regexp_replace(msg3, _TAG_RE, "")
     )
-    mon3 = F.regexp_extract(line, _RFC3164_RE, 2)
-    month_num = F.array_position(
-        F.array(*[F.lit(m) for m in _MONTHS]), mon3
-    ).cast("int")
-    ts3 = F.make_timestamp(
-        F.lit(default_year),
-        month_num,
-        F.regexp_extract(line, _RFC3164_RE, 3).try_cast("int"),
-        F.regexp_extract(line, _RFC3164_RE, 4).try_cast("int"),
-        F.regexp_extract(line, _RFC3164_RE, 5).try_cast("int"),
-        F.regexp_extract(line, _RFC3164_RE, 6).try_cast("int"),
+    ok3 = (
+        pri3.isNotNull() & (pri3 <= 191) & ts3.isNotNull()
+        & (F.lit(not with_hostname) | (host3 != ""))
     )
-    pri3 = F.regexp_extract(line, _RFC3164_RE, 1).try_cast("int")
-    # 3164 requires the post-header shape too: with hostname there
-    # must be a host token AND a message after it
-    ok3 = m3 & (pri3 <= 191) & ((F.lit(not with_hostname)) | (host3 != ""))
 
-    m5 = line.rlike(_RFC5424_RE)
-    pri5 = F.regexp_extract(line, _RFC5424_RE, 1).try_cast("int")
-    ts5_raw = F.regexp_extract(line, _RFC5424_RE, 2)
-    ts5 = F.try_to_timestamp(ts5_raw)
-    ok5 = m5 & (pri5 <= 191) & ts5.isNotNull()
-    host5 = _nilable(F.regexp_extract(line, _RFC5424_RE, 3))
-    app5 = _nilable(F.regexp_extract(line, _RFC5424_RE, 4))
-    proc5 = _nilable(F.regexp_extract(line, _RFC5424_RE, 5))
-    msgid5 = _nilable(F.regexp_extract(line, _RFC5424_RE, 6))
-    tail5 = F.regexp_extract(line, _RFC5424_RE, 7)
+    ok5 = pri5.isNotNull() & (pri5 <= 191) & ts5.isNotNull()
+    host5 = _nilable(g5(3))
+    app5 = _nilable(g5(4))
+    proc5 = _nilable(g5(5))
+    msgid5 = _nilable(g5(6))
     sd_raw = F.regexp_extract(tail5, _SD_RE, 1)
     has_sd = (~tail5.startswith("-")) & (sd_raw != "")
     content5 = F.when(
-        tail5.startswith("- "), F.substring(tail5, 3, 2_000_000)
+        tail5.startswith("- "), tail5.substr(F.lit(3), F.length(tail5))
     ).when(tail5 == "-", F.lit("")).otherwise(
         F.regexp_replace(tail5, _SD_RE + " ?", "")
     )
@@ -190,4 +242,4 @@ def syslog_parse(
             "_message_id_": F.when(use5, msgid5),
             "_process_id_": F.when(use5, proc5),
         }
-    )
+    ).drop("_s3", "_s5", "_m3", "_t5", "_pri3", "_pri5", "_ts3", "_ts5")

@@ -162,3 +162,19 @@ def test_nginx_status_parse(spark):
     assert all(rows[2][c] is None for c in
                ["active", "accepts", "handled", "requests",
                 "reading", "writing", "waiting"])
+
+
+def test_rfc3164_calendar_invalid_is_failure_not_crash(spark):
+    """Regex-shaped but calendar-invalid fields (Feb 30, hour 99) must
+    take the parse-failure row, not an ANSI DateTimeException."""
+    rows = _parse(
+        spark,
+        ["<13>Feb 30 12:00:00 host prog: hello",
+         "<13>Aug 02 99:00:00 host prog: hi",
+         "<999>Aug 02 09:00:00 host prog: pri out of range"],
+        mode="rfc3164",
+    )
+    for r in rows:
+        assert r["_priority_"] == -1
+        assert r["_unixtimestamp_"] is None
+        assert r["_content_"].startswith("<")  # raw passthrough
