@@ -2397,6 +2397,34 @@ def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_duplicated_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-passage detection at 8-token span resolution
+    (functions/dedup.py:duplicated_spans — Lee et al. 2021 discretized
+    to grams): a SHARED boilerplate passage planted on doc_id%7==0
+    docs and a WITHIN-doc self-repeat (first 10 tokens re-appended) on
+    doc_id%10==0 docs must both surface as covered duplicated tokens;
+    untouched prose stays at dup_frac 0 (modulo genuine small-vocab
+    collisions, which both engines count identically)."""
+    from ilogtail_spark.functions.dedup import duplicated_spans
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    first10 = F.array_join(F.slice(w, 1, 10), " ")
+    passage = (
+        " shared boilerplate passage alpha beta gamma delta epsilon"
+        " zeta eta theta iota"
+    )
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(passage)).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.lit(" "), first10)
+        ).otherwise(F.lit("")),
+    )
+    fx = docs.select("doc_id", text2.alias("text"))
+    return duplicated_spans(fx, span_len=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -2412,6 +2440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_syslog_parse": _q_syslog_parse,
         "q90_nginx_status": _q_nginx_status,
         "q91_prom_remote_write": _q_prom_remote_write,
+        "q92_duplicated_spans": _q_duplicated_spans,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2870,6 +2899,53 @@ def oracle_sql() -> dict[str, str]:
         "q86_semantic_dedup": _semantic_dedup_oracle(),
         # q88: LSH recall S-curve vs exact-Jaccard truth
         "q88_dedup_recall": _dedup_recall_oracle(),
+        # q92: duplicated spans — same gram index + interval-union
+        # (the fold becomes a running-max window), exact integers;
+        # oracle positions are 1-based vs Spark's 0-based posexplode,
+        # union LENGTH is shift-invariant
+        "q92_duplicated_spans": r"""
+           WITH fx AS (
+             SELECT doc_id,
+                    text
+                    || CASE WHEN doc_id % 7 = 0
+                            THEN ' shared boilerplate passage alpha beta'
+                                 || ' gamma delta epsilon zeta eta theta iota'
+                            ELSE '' END
+                    || CASE WHEN doc_id % 10 = 0
+                            THEN ' ' || array_to_string(
+                              regexp_split_to_array(
+                                lower(trim(text)), '\s+')[1:10], ' ')
+                            ELSE '' END AS text
+             FROM documents),
+           t AS (SELECT doc_id,
+                        regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                 FROM fx),
+           g AS (SELECT doc_id, len(w) AS n,
+                        unnest(list_transform(
+                          generate_series(1, len(w) - 7), i ->
+                          {'pos': i,
+                           'h': ('0x' || substr(md5(
+                              array_to_string(w[i:i+7], ' ')), 1, 15))::BIGINT}
+                        )) AS u
+                 FROM t),
+           p AS (SELECT doc_id, n, u.pos AS pos, u.h AS h FROM g),
+           d AS (SELECT h FROM p GROUP BY h HAVING count(*) > 1),
+           m AS (SELECT p.doc_id, p.n, p.pos FROM p JOIN d USING (h)),
+           c AS (SELECT doc_id, n, pos,
+                        max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS cov
+                 FROM m),
+           s AS (SELECT doc_id,
+                        SUM(greatest(pos + 8
+                              - greatest(pos, coalesce(cov, 0)), 0)) AS dup
+                 FROM c GROUP BY doc_id)
+           SELECT t.doc_id,
+                  CAST(len(t.w) AS INTEGER) AS n_tokens,
+                  CAST(coalesce(s.dup, 0) AS BIGINT) AS dup_tokens,
+                  round(CAST(coalesce(s.dup, 0) AS DOUBLE)
+                        / CAST(len(t.w) AS DOUBLE), 6) AS dup_frac
+           FROM t LEFT JOIN s USING (doc_id)""",
         # q91: closed-form prom remote-write twin — labels sorted
         # ('__name__' < 'host' < 'note' < 'tool'), empties dropped,
         # dyadic double values + int64 ms survive the wire exactly

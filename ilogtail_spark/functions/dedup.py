@@ -435,3 +435,96 @@ def decontaminate(
         F.col("_hits").alias("n_contaminated"),
         F.round(F.col("_hits") / F.col("_n"), 6).alias("contamination"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Duplicated-PASSAGE detection at span resolution ``span_len``
+    (the deduplicate-training-data result of Lee et al. 2021,
+    arXiv:2107.06499, discretized to token ``span_len``-grams instead
+    of suffix arrays): a position is duplicated iff its span_len-gram
+    occurs MORE THAN ONCE in the corpus (within- or cross-document);
+    per document the duplicated positions' windows are UNION-merged
+    into covered-token counts.
+
+    Output: ``(id, n_tokens, dup_tokens, dup_frac)`` — exact integer
+    counts and one exact-integer division, oracle-exact.
+
+    100 TB shape: one inverted index keyed by the 8-byte gram HASH
+    (uniform shuffle key, map-side-combined count), one equi-join
+    back on the same key (no re-partition), then a per-document
+    interval-union FOLD over the sorted position list (per-group
+    state bounded by the document's own length). Nothing is ever
+    pairwise — a boilerplate gram in millions of documents costs one
+    row per occurrence, not per pair (contrast ngram_jaccard_pairs'
+    candidate join, which needs the df cap).
+    """
+    L = span_len
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = df.select(
+        F.col(id_col).alias("_id"), w.alias("_w"), F.size(w).alias("_n")
+    )
+    grams = toks.select(
+        "_id",
+        "_n",
+        # guard: sequence(1, 0) would generate DESCENDING [1, 0] (and
+        # slice start 0 throws) — short docs contribute no spans
+        F.posexplode(
+            F.when(
+                F.col("_n") >= L,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - L + 1),
+                    lambda i: _md5_hash64(
+                        F.array_join(F.slice(F.col("_w"), i, L), " ")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("_pos", "_h"),
+    )
+    dup = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h")
+    )
+    marked = grams.join(dup, "_h").select("_id", "_n", "_pos")
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("cov"), F.lit(0).cast("long").alias("tot")
+    )
+
+    def step(acc: Column, p: Column) -> Column:
+        # positions sorted ascending; window [p, p+L) adds the tokens
+        # past the covered frontier
+        add = F.greatest(p + L - F.greatest(p, acc["cov"]), F.lit(0))
+        return F.struct(
+            F.greatest(acc["cov"], p + L).alias("cov"),
+            (acc["tot"] + add).alias("tot"),
+        )
+
+    per_doc = (
+        marked.groupBy("_id", "_n")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_ps"))
+        .select(
+            "_id",
+            "_n",
+            F.aggregate(F.col("_ps"), acc0, step)["tot"].alias("_dup"),
+        )
+    )
+    return (
+        toks.select("_id", "_n")
+        .join(per_doc, ["_id", "_n"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").alias("n_tokens"),
+            F.coalesce(F.col("_dup"), F.lit(0).cast("long")).alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("_dup"), F.lit(0).cast("long")).cast("double")
+                / F.col("_n").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -186,3 +186,32 @@ def test_multimodal_pil_decoder_when_available(spark):
     df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
     out = resize_media(df, 4, 4, decoder="pil").first()
     assert len(out["thumb"]) == 16
+
+
+def test_duplicated_spans_exact(spark):
+    """Lee-et-al-style span dedup at L=3: hand-computed coverage for
+    cross-doc and within-doc repeats, overlap union-merged."""
+    from ilogtail_spark.functions.dedup import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share 'a b c d' (two overlapping 3-grams:
+            # 'a b c', 'b c d' -> union covers 4 tokens in each)
+            (1, "a b c d x1 y1 z1"),
+            (2, "p2 q2 a b c d r2"),
+            # within-doc repeat: 'm n o' twice -> both windows marked
+            (3, "m n o k3 m n o"),
+            # no duplication
+            (4, "u4 v4 w4 s4 t4"),
+            # shorter than L: no spans at all
+            (5, "x5 y5"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(docs, span_len=3).collect()}
+    assert (out[1]["n_tokens"], out[1]["dup_tokens"]) == (7, 4)
+    assert (out[2]["n_tokens"], out[2]["dup_tokens"]) == (7, 4)
+    assert (out[3]["n_tokens"], out[3]["dup_tokens"]) == (7, 6)
+    assert out[3]["dup_frac"] == round(6 / 7, 6)
+    assert (out[4]["dup_tokens"], out[5]["dup_tokens"]) == (0, 0)
+    assert out[5]["n_tokens"] == 2
