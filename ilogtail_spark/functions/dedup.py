@@ -465,26 +465,29 @@ def duplicated_spans(
     """
     L = span_len
     w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    toks = df.select(
+    # spread: parallelize the heaviest narrow stage (per-position gram
+    # build) before any shuffle, like the module's other entry points
+    toks = spread(df).select(
         F.col(id_col).alias("_id"), w.alias("_w"), F.size(w).alias("_n")
     )
     grams = toks.select(
         "_id",
         "_n",
         # guard: sequence(1, 0) would generate DESCENDING [1, 0] (and
-        # slice start 0 throws) — short docs contribute no spans
+        # slice start 0 throws) — short docs contribute no spans.
+        # Only the gram STRING builds inside the (interpreted)
+        # higher-order lambda; the md5 fold hashes AFTER posexplode as
+        # a codegen'd top-level column (the word_shingles ~8x lesson)
         F.posexplode(
             F.when(
                 F.col("_n") >= L,
                 F.transform(
                     F.sequence(F.lit(1), F.col("_n") - L + 1),
-                    lambda i: _md5_hash64(
-                        F.array_join(F.slice(F.col("_w"), i, L), " ")
-                    ),
+                    lambda i: F.array_join(F.slice(F.col("_w"), i, L), " "),
                 ),
-            ).otherwise(F.array().cast("array<long>"))
-        ).alias("_pos", "_h"),
-    )
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_pos", "_g"),
+    ).select("_id", "_n", "_pos", _md5_hash64(F.col("_g")).alias("_h"))
     dup = (
         grams.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
