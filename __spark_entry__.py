@@ -2425,6 +2425,20 @@ def _q_duplicated_spans(spark: SparkSession, sf: str) -> DataFrame:
     return duplicated_spans(fx, span_len=8)
 
 
+def _q_context_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """aggregator_context pack lineage (operators/agg.py:
+    context_pack_id — the PREFIX-HEXSEQ `__pack_id__` of
+    util.go:371-384): per conversation, arrival-ordered packs of 4
+    events, uppercase-hex prefix from the source identity and 1-based
+    hex pack sequence — the exact shape the e2e LogContext verifier
+    validates; now also oracle-gated."""
+    from ilogtail_spark.operators.agg import context_pack_id
+
+    t = derive_transcripts(spark, sf).select("conv_id", "turn_idx")
+    out = context_pack_id(t, ("conv_id",), "turn_idx", max_events=4)
+    return out.select("conv_id", "turn_idx", "__pack_id__")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
@@ -2441,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_nginx_status": _q_nginx_status,
         "q91_prom_remote_write": _q_prom_remote_write,
         "q92_duplicated_spans": _q_duplicated_spans,
+        "q93_context_pack": _q_context_pack,
         "q80_paragraph_dedup": _q_paragraph_dedup,
         "q81_pii_scrub": _q_pii_scrub,
         "q82_classifier_score": _q_classifier_score,
@@ -2899,6 +2914,16 @@ def oracle_sql() -> dict[str, str]:
         "q86_semantic_dedup": _semantic_dedup_oracle(),
         # q88: LSH recall S-curve vs exact-Jaccard truth
         "q88_dedup_recall": _dedup_recall_oracle(),
+        # q93: pack lineage — PREFIX-HEXSEQ closed form
+        "q93_context_pack": TRANSCRIPTS_CTE
+        + """
+           SELECT conv_id, turn_idx,
+                  upper(substr(md5(conv_id), 1, 16)) || '-' ||
+                  upper(to_hex(CAST(floor(
+                    (row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) - 1) / 4)
+                    + 1 AS BIGINT))) AS __pack_id__
+           FROM transcripts""",
         # q92: duplicated spans — same gram index + interval-union
         # (the fold becomes a running-max window), exact integers;
         # oracle positions are 1-based vs Spark's 0-based posexplode,
