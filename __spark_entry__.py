@@ -2442,62 +2442,14 @@ def _q_context_pack(spark: SparkSession, sf: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness harness snapshots the FIRST
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
-    # q51+ therefore lead this round so the rows the driver has never
-    # checked get verified first; q01–q50 (driver-green in BOTH r02 and
-    # r03) rotate to the tail. See BASELINE.md "Correctness artifact".
+    # Round-5 rotation (VERDICT r4 item 2): q70/q71 lead to witness the
+    # oracle HUGEINT-cast fix, then q08–q50 (last driver rows r03), then
+    # q01–q05 to fill the snapshot. q51–q93 (all driver-green in r04)
+    # rotate to the tail. With this, every query has a green driver row
+    # in r04 ∪ r05. See BASELINE.md "Correctness artifact".
     head = {
-        "q84_domain_cap": _q_domain_cap,
-        "q85_c4_filters": _q_c4_filters,
-        "q86_semantic_dedup": _q_semantic_dedup,
-        "q87_gopher_quality": _q_gopher_quality,
-        "q88_dedup_recall": _q_dedup_recall,
-        "q89_syslog_parse": _q_syslog_parse,
-        "q90_nginx_status": _q_nginx_status,
-        "q91_prom_remote_write": _q_prom_remote_write,
-        "q92_duplicated_spans": _q_duplicated_spans,
-        "q93_context_pack": _q_context_pack,
-        "q80_paragraph_dedup": _q_paragraph_dedup,
-        "q81_pii_scrub": _q_pii_scrub,
-        "q82_classifier_score": _q_classifier_score,
-        "q79_cdc_upsert": _q_cdc_upsert,
-        "q83_cdc_pack_values": _q_cdc_pack_values,
-        "q76_sls_pb": _q_sls_pb,
-        "q77_otel_trace_pb": _q_otel_trace_pb,
-        "q78_otel_metric_pb": _q_otel_metric_pb,
-        "q51_asof_join": _q_asof_join,
-        "q52_rolling_fp": _q_rolling_fingerprint,
-        "q53_prom_relabel": _q_prom_relabel,
-        "q54_hypertable_rollup": _q_hypertable_rollup,
-        "q55_prom_parse": _q_prom_parse,
-        "q56_sessionize": _q_sessionize,
-        "q57_percentiles": _q_percentiles,
-        "q58_spl_let_fanout": _q_spl_let_fanout,
-        "q59_multiline_overlap": _q_multiline_overlap,
-        "q60_geoip_config": _q_geoip_config,
-        "q61_string_replace": _q_string_replace,
-        "q62_group_info_filter": _q_group_info_filter,
-        "q63_metadata_group": _q_metadata_group,
-        "q64_filter_key_regex": _q_filter_key_regex,
-        "q65_otel_trace": _q_otel_trace,
-        "q66_otel_metric": _q_otel_metric,
-        "q67_serializers": _q_serializers,
-        "q68_decontaminate": _q_decontaminate,
-        "q69_stratified_sample": _q_stratified_sample,
         "q70_sequence_packing": _q_sequence_packing,
         "q71_curation_pipeline": _q_curation_pipeline,
-        "q72_split_log_regex": _q_split_log_regex,
-        "q73_yaml_pipeline": _q_yaml_pipeline,
-        "q74_repetition_stats": _q_repetition_stats,
-        "q75_ann_recall": _q_ann_recall,
-    }
-    tail = {
-        "q01_transcripts": _q_transcripts,
-        "q02_parse_regex": _q_parse,
-        "q03_parse_fail_by_role": _q_parse_fail_by_role,
-        "q04_enrich_dictmap": _q_enrich,
-        "q05_route_counts": _q_route_counts,
-        "q06_routed_errors": _q_routed_errors,
-        "q07_sink_aggregates": _q_sink_aggregates,
         "q08_tool_histogram": _q_tool_histogram,
         "q09_salted_agg": _q_salted_agg,
         "q10_topk_convs": _q_topk_convs,
@@ -2541,6 +2493,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_transform_chain": _q_transform_chain,
         "q49_dedup_clusters": _q_dedup_clusters,
         "q50_ann_ivf": _q_ann_ivf,
+        "q01_transcripts": _q_transcripts,
+        "q02_parse_regex": _q_parse,
+        "q03_parse_fail_by_role": _q_parse_fail_by_role,
+        "q04_enrich_dictmap": _q_enrich,
+        "q05_route_counts": _q_route_counts,
+    }
+    tail = {
+        "q06_routed_errors": _q_routed_errors,
+        "q07_sink_aggregates": _q_sink_aggregates,
+        "q51_asof_join": _q_asof_join,
+        "q52_rolling_fp": _q_rolling_fingerprint,
+        "q53_prom_relabel": _q_prom_relabel,
+        "q54_hypertable_rollup": _q_hypertable_rollup,
+        "q55_prom_parse": _q_prom_parse,
+        "q56_sessionize": _q_sessionize,
+        "q57_percentiles": _q_percentiles,
+        "q58_spl_let_fanout": _q_spl_let_fanout,
+        "q59_multiline_overlap": _q_multiline_overlap,
+        "q60_geoip_config": _q_geoip_config,
+        "q61_string_replace": _q_string_replace,
+        "q62_group_info_filter": _q_group_info_filter,
+        "q63_metadata_group": _q_metadata_group,
+        "q64_filter_key_regex": _q_filter_key_regex,
+        "q65_otel_trace": _q_otel_trace,
+        "q66_otel_metric": _q_otel_metric,
+        "q67_serializers": _q_serializers,
+        "q68_decontaminate": _q_decontaminate,
+        "q69_stratified_sample": _q_stratified_sample,
+        "q72_split_log_regex": _q_split_log_regex,
+        "q73_yaml_pipeline": _q_yaml_pipeline,
+        "q74_repetition_stats": _q_repetition_stats,
+        "q75_ann_recall": _q_ann_recall,
+        "q76_sls_pb": _q_sls_pb,
+        "q77_otel_trace_pb": _q_otel_trace_pb,
+        "q78_otel_metric_pb": _q_otel_metric_pb,
+        "q79_cdc_upsert": _q_cdc_upsert,
+        "q80_paragraph_dedup": _q_paragraph_dedup,
+        "q81_pii_scrub": _q_pii_scrub,
+        "q82_classifier_score": _q_classifier_score,
+        "q83_cdc_pack_values": _q_cdc_pack_values,
+        "q84_domain_cap": _q_domain_cap,
+        "q85_c4_filters": _q_c4_filters,
+        "q86_semantic_dedup": _q_semantic_dedup,
+        "q87_gopher_quality": _q_gopher_quality,
+        "q88_dedup_recall": _q_dedup_recall,
+        "q89_syslog_parse": _q_syslog_parse,
+        "q90_nginx_status": _q_nginx_status,
+        "q91_prom_remote_write": _q_prom_remote_write,
+        "q92_duplicated_spans": _q_duplicated_spans,
+        "q93_context_pack": _q_context_pack,
     }
     return {**head, **tail}
 
@@ -3968,8 +3970,11 @@ def oracle_sql() -> dict[str, str]:
                       - n_tok AS strt
              FROM d
            ), p AS (
-             SELECT lang, n_tok, strt // 256 AS seq_id,
-                    strt % 256 AS seq_offset,
+             -- strt is a window sum(BIGINT) => DuckDB HUGEINT; cast the
+             -- derived outputs back to BIGINT or the driver hasher
+             -- (pandas/Arrow fetch) diverges on INT128 (round-4 red rows)
+             SELECT lang, n_tok, CAST(strt // 256 AS BIGINT) AS seq_id,
+                    CAST(strt % 256 AS BIGINT) AS seq_offset,
                     (n_tok > 0 AND (strt + n_tok - 1) // 256 > strt // 256)
                       AS straddles
              FROM c
@@ -4036,8 +4041,9 @@ def oracle_sql() -> dict[str, str]:
                       - n_tok AS strt
              FROM samp
            ), p AS (
-             SELECT source, n_tok, strt // 128 AS seq_id,
-                    strt % 128 AS seq_offset,
+             -- CAST back from HUGEINT (see q70 note)
+             SELECT source, n_tok, CAST(strt // 128 AS BIGINT) AS seq_id,
+                    CAST(strt % 128 AS BIGINT) AS seq_offset,
                     (n_tok > 0 AND (strt + n_tok - 1) // 128 > strt // 128)
                       AS straddles
              FROM c
