@@ -98,10 +98,12 @@ def lang_id(col: Column) -> Column:
 
 
 def fingerprint64(col: Column) -> Column:
-    """Deterministic 64-bit document fingerprint from md5 (first 16 hex
-    chars → signed BIGINT) — a rolling-hash analogue that is
-    cross-engine reproducible (DuckDB: ('0x'||substr(md5(x),1,16))::UBIGINT
-    arithmetic)."""
+    """Deterministic 60-bit document fingerprint: delegates to
+    common.md5_hash64 — first 15 hex chars of md5 → signed BIGINT
+    (the ONE cross-engine hash definition; DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``). 15 chars, not 16:
+    16 would need UBIGINT on the DuckDB side, which the driver's
+    pandas fetch can't hash (see CLAUDE.md invariants)."""
     from ilogtail_spark.common import md5_hash64
 
     return md5_hash64(col)

@@ -751,11 +751,15 @@ def prom_remote_write_encode(
                     if v:  # empty/NULL label values dropped (spec)
                         labels.append({"name": c, "value": v})
                 labels.sort(key=lambda lb: lb["name"])
+                # NULL value/timestamp -> 0, WRITTEN on the wire — the
+                # same defaulting sls_pb_encode_groups applies to a
+                # NULL Log.time (data-facing operator; callers may
+                # carry NULLs even though the oracle fixtures do not)
                 ts_list.append({
                     "labels": labels,
                     "samples": [{
-                        "value": float(r["_v"]),
-                        "timestamp": int(r["_t"]),
+                        "value": 0.0 if r["_v"] is None else float(r["_v"]),
+                        "timestamp": 0 if r["_t"] is None else int(r["_t"]),
                     }],
                 })
             return encode_message({"timeseries": ts_list}, PROM_WRITE_REQUEST)

@@ -284,3 +284,28 @@ def test_prom_remote_write_encode(spark):
         {"name": "host", "value": "h2"},
         {"name": "zone", "value": "y"},
     ]
+
+
+def test_prom_remote_write_null_value_and_time(spark):
+    """r4 ADVICE: a NULL metric value or timestamp must not crash the
+    pandas UDF — default both to 0, the same defaulting
+    sls_pb_encode_groups applies to a NULL Log.time."""
+    from ilogtail_spark.operators.pb import (
+        PROM_WRITE_REQUEST,
+        decode_message,
+        prom_remote_write_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "cpu", None, None, "h1", "")],
+        "b long, n string, v double, t long, host string, zone string",
+    )
+    out = prom_remote_write_encode(
+        df, ["b"], "n", "v", "t", ["host", "zone"]
+    ).collect()
+    wr = decode_message(bytes(out[0]["pb"]), PROM_WRITE_REQUEST)
+    # value 0.0 is proto3-default (omitted on the wire -> absent key);
+    # the decode leg surfaces present-or-default uniformly via .get
+    s = wr["timeseries"][0]["samples"][0]
+    assert s.get("value", 0.0) == 0.0
+    assert s.get("timestamp", 0) == 0
