@@ -342,6 +342,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     quant_scale: int = 1_000_000,
     materialize: bool = True,
+    max_cluster_pop: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then prune semantic duplicates
@@ -370,6 +371,17 @@ def semantic_dedup(
     and each vector's norm rides along from the argmax, so a pair
     costs ONE dot fold, not three (``materialize=False`` keeps the
     pure-lazy plan for plan-shape inspection).
+
+    **k-scaling contract (``max_cluster_pop``)**: the within-cluster
+    prune is O(pop²) per cluster — k MUST grow with the corpus so
+    n/k stays bounded (the paper runs k=50k on LAION-440M, ~9k per
+    cluster). With ``max_cluster_pop`` set, the operator checks the
+    largest final-cluster population (one tiny aggregate action on
+    the already-checkpointed assignment — no extra lineage) and FAILS
+    FAST with sizing guidance instead of silently going quadratic on
+    a 100 TB corpus with a fixture-sized k. At scale always set it
+    (a few × n/k); requires ``materialize=True`` since the check is
+    an action.
     """
     v = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     seeds = v.filter(F.col("_id") < k)
@@ -430,6 +442,25 @@ def semantic_dedup(
     )
     if materialize:
         a1 = a1.localCheckpoint(eager=True)
+    if max_cluster_pop is not None:
+        if not materialize:
+            raise ValueError(
+                "semantic_dedup: max_cluster_pop needs materialize=True "
+                "(the population check is an action; without the "
+                "checkpoint it would recompute the assignment)"
+            )
+        row = (
+            a1.groupBy("cluster").count().agg(F.max("count")).first()
+        )
+        biggest = row[0] or 0
+        if biggest > max_cluster_pop:
+            raise ValueError(
+                f"semantic_dedup: largest cluster has {biggest} members "
+                f"> max_cluster_pop={max_cluster_pop}; the within-cluster "
+                f"prune is O(pop²) — raise k (currently {k}) so n/k stays "
+                "bounded, or raise max_cluster_pop if the quadratic cost "
+                "is acceptable"
+            )
     a, b = a1.alias("a"), a1.alias("b")
     pairs = a.join(
         b,

