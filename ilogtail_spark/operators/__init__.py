@@ -14,6 +14,7 @@ from ilogtail_spark.operators.registry import OPERATORS, register
 from ilogtail_spark.operators import (  # noqa: E402,F401
     agg,
     filters,
+    influx,
     otel,
     parse,
     pb,

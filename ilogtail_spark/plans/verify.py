@@ -204,3 +204,36 @@ def log_order_valid(
     assert bad["order"] == 0, (
         f"log order is not correct ({bad['order']} out-of-order steps)"
     )
+
+
+def log_labels_match(
+    df: DataFrame, labels: Sequence[str], contents_col: str = "contents"
+) -> None:
+    """log_label.go:32 LogLabel (steps.go, 'the log labels match as
+    below' + YAML list): for every log carrying ``__labels__``, the
+    ``|``-joined label string must have EXACTLY len(labels) parts,
+    every part shaped ``key#$#value``, and every expected key present.
+    One aggregate job, same as the other verifiers."""
+    lbl = F.element_at(F.col(contents_col), F.lit("__labels__"))
+    parts = F.split(lbl, r"\|")
+    keys = F.transform(parts, lambda p: F.substring_index(p, "#$#", 1))
+    has = lbl.isNotNull()
+    flags = {
+        "label_count": has & (F.size(parts) != len(labels)),
+        "label_shape": has
+        & F.exists(parts, lambda p: ~p.contains("#$#")),
+    }
+    for name in labels:
+        flags[f"key_{name}"] = has & ~F.array_contains(keys, name)
+    bad = _violations(df, flags)
+    assert bad["label_count"] == 0, (
+        f"want label num {len(labels)}, bug got different "
+        f"({bad['label_count']} logs)"
+    )
+    assert bad["label_shape"] == 0, (
+        f"want metric pattern key#$#value ({bad['label_shape']} logs)"
+    )
+    for name in labels:
+        assert bad[f"key_{name}"] == 0, (
+            f"want metric label keys: {list(labels)}, but not found: {name}"
+        )
