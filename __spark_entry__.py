@@ -2344,6 +2344,45 @@ def _q_nginx_status(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_influx_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """InfluxDB line-protocol decode (service_http_server
+    Format=influxdb; pkg/protocol/decoder/influxdb/decoder.go:159-222;
+    operators/influx.py): each event synthesizes one line
+    ``metric_<type>,host=h<k>,region=r<k> value=<x>.5,count=<n>i <ns>``
+    → TWO logs per line (one per field): float value through the Go
+    'g' formatter, int value with the ``i`` suffix stripped, labels
+    sorted by key, 19-digit ns stamp verbatim, FieldsExtend type/field
+    names + the db query-param tag. Closed-form oracle: the decode
+    must exactly invert the synthesis (roundtrip convention of
+    q89/q90/q91)."""
+    from ilogtail_spark.operators.influx import influx_decode
+
+    ev = load_table(spark, sf, "events")
+    eid = F.col("event_id")
+    line = F.concat(
+        F.lit("metric_"), F.col("event_type"),
+        F.lit(",host=h"), (eid % 5).cast("string"),
+        F.lit(",region=r"), (eid % 3).cast("string"),
+        F.lit(" value="), (eid % 100).cast("string"), F.lit(".5"),
+        F.lit(",count="), (eid % 7).cast("string"), F.lit("i"),
+        F.lit(" "), (F.lit(1700000000000000000) + eid).cast("string"),
+    )
+    out = influx_decode(
+        ev.select(eid.alias("event_id"), line.alias("content")),
+        "content", keep=["event_id"], fields_extend=True, db="mydb",
+    )
+    return out.select(
+        "event_id",
+        F.col("__name__").alias("name"),
+        F.col("__labels__").alias("labels"),
+        F.col("__time_nano__").alias("time_nano"),
+        F.col("__type__").alias("vtype"),
+        F.col("__field__").alias("field"),
+        F.col("__value__").alias("value"),
+        F.col("`__tag__:db`").alias("db_tag"),
+    )
+
+
 def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     """flusher_prometheus remote-write encode∘decode roundtrip
     (pkg/protocol/encoder/prometheus/utils.go:44-86;
@@ -2543,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_prom_remote_write": _q_prom_remote_write,
         "q92_duplicated_spans": _q_duplicated_spans,
         "q93_context_pack": _q_context_pack,
+        "q94_influx_decode": _q_influx_decode,
     }
     return {**head, **tail}
 
@@ -2926,6 +2966,30 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY turn_idx) - 1) / 4)
                     + 1 AS BIGINT))) AS __pack_id__
            FROM transcripts""",
+        # q94: influx line-protocol decode roundtrip — the closed form
+        # of the synthesized lines (one row per FIELD: the float
+        # 'value' leg always carries a .5 fraction so Go-'g' == the
+        # literal concatenation; the int 'count' leg drops the i
+        # suffix); labels sorted (host < region lexicographically)
+        "q94_influx_decode": """
+           WITH u AS (
+             SELECT event_id,
+                    'metric_' || event_type AS m,
+                    'host#$#h' || CAST(event_id % 5 AS VARCHAR)
+                      || '|region#$#r' || CAST(event_id % 3 AS VARCHAR)
+                      AS labels,
+                    CAST(1700000000000000000 + event_id AS VARCHAR)
+                      AS time_nano
+             FROM events)
+           SELECT event_id, m AS name, labels, time_nano,
+                  'float' AS vtype, 'value' AS field,
+                  CAST(event_id % 100 AS VARCHAR) || '.5' AS value,
+                  'mydb' AS db_tag
+           FROM u
+           UNION ALL
+           SELECT event_id, m || ':count', labels, time_nano,
+                  'int', 'count', CAST(event_id % 7 AS VARCHAR), 'mydb'
+           FROM u""",
         # q92: duplicated spans — same gram index + interval-union
         # (the fold becomes a running-max window), exact integers;
         # oracle positions are 1-based vs Spark's 0-based posexplode,

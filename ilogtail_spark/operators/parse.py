@@ -1091,10 +1091,24 @@ def parse_apsara(
 # ---------------------------------------------------------------------------
 
 def _opts_from_config(cfg: dict) -> ParserOptions:
+    # two key dialects for the same options: the Go plugins say
+    # KeepSource/KeepSourceIfParseError (processor_json.go:29-40), the
+    # native C++ processors say KeepingSourceWhenParseSucceed/
+    # KeepingSourceWhenParseFail (CommonParserOptions.h) — YAML configs
+    # in the wild use either
     return ParserOptions(
-        keep_source=cfg_pop(cfg, "KeepSource", "keep_source", default=False),
+        keep_source=cfg.pop(
+            "KeepSource",
+            cfg.pop(
+                "KeepingSourceWhenParseSucceed", cfg.pop("keep_source", False)
+            ),
+        ),
         keep_source_if_fail=cfg.pop(
-            "KeepSourceIfParseError", cfg.pop("keep_source_if_fail", True)
+            "KeepSourceIfParseError",
+            cfg.pop(
+                "KeepingSourceWhenParseFail",
+                cfg.pop("keep_source_if_fail", True),
+            ),
         ),
         discard_unmatch=cfg_pop(cfg, "DiscardUnmatch", "discard_unmatch", default=False),
     )

@@ -105,12 +105,27 @@ def dynamic_sink_name(
     df: DataFrame,
     template: str,
     sink_col: str = "__sink__",
+    contents_col: str | None = None,
 ) -> DataFrame:
     """Dynamic sink addressing: expand ``%{field}`` and ``%{+yyyyMMdd}``
     patterns into the sink name (flusher_kafka_v2.go:232-326,
     pkg/fmtstr/format_topic.go:18). Date patterns format the row's
-    ``ts``; field patterns splice the column value."""
+    ``ts``; field patterns splice the column value.
+
+    fmtstr scopes: ``tag.x`` reads group tags, ``content.x`` reads the
+    log contents bag — both are flat columns in table-land by default;
+    pass ``contents_col`` (a ``map<string,string>`` column) to read
+    field tokens from a contents map instead, the flusher's own view."""
     import re
+
+    def field(token: str) -> Column:
+        is_tag = token.startswith("tag.")
+        name = token.removeprefix("tag.").removeprefix("content.")
+        # tag scope always reads the flat (group-level) column; only
+        # content-scope tokens route through the contents map
+        if contents_col is not None and not is_tag:
+            return F.element_at(F.col(contents_col), F.lit(name))
+        return F.col(name).cast("string")
 
     parts: list[Column] = []
     pos = 0
@@ -122,8 +137,7 @@ def dynamic_sink_name(
             java_fmt = token[1:]
             parts.append(F.date_format(F.col("ts"), java_fmt))
         else:
-            name = token.removeprefix("tag.")
-            parts.append(F.coalesce(F.col(name).cast("string"), F.lit("null")))
+            parts.append(F.coalesce(field(token), F.lit("null")))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))

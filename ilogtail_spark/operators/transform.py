@@ -399,14 +399,23 @@ def anchor(
 
     Anchors are literals, so this is locate + substring (lazy-dot
     regex semantics: shortest span from the first Start to the next
-    Stop) — plain codegen string ops, no java.util.regex."""
+    Stop) — plain codegen string ops, no java.util.regex.
+
+    Empty anchors per anchor.go:174,190: ``Start: ""`` anchors at
+    position 0 (locate('') returns 1), ``Stop: ""`` extends the span
+    to the end of the string."""
     src = F.col(source)
+    start = start or ""
+    stop = stop or ""
     p1 = F.locate(start, src)
     after = F.substring(src, p1 + len(start), F.length(src))
-    p2 = F.locate(stop, after)
-    col = F.when(
-        (p1 > 0) & (p2 > 1), F.substring(after, F.lit(1), p2 - 1)
-    )
+    if stop == "":
+        col = F.when(p1 > 0, after)
+    else:
+        p2 = F.locate(stop, after)
+        col = F.when(
+            (p1 > 0) & (p2 > 1), F.substring(after, F.lit(1), p2 - 1)
+        )
     out = df.withColumn(dest, col)
     if expand_json:
         out = out.withColumn(dest, F.from_json(F.col(dest), "map<string,string>"))
@@ -893,14 +902,39 @@ def _dlk_factory(**cfg):
 
 @register("processor_anchor")
 def _anchor_factory(**cfg):
-    return lambda df: anchor(
-        df,
-        source=cfg.get("SourceKey", cfg.get("source", "text")),
-        start=cfg.get("Start", cfg.get("start")),
-        stop=cfg.get("Stop", cfg.get("stop")),
-        dest=cfg.get("FieldName", cfg.get("dest")),
-        expand_json=cfg.get("ExpandJson", cfg.get("expand_json", False)),
-    )
+    """anchor.go:36-62: the real config shape is an ``Anchors`` LIST
+    of {Start, Stop, FieldName, FieldType, ExpondJson[sic]} — each
+    anchor extracts one field from SourceKey; the flat
+    Start/Stop/FieldName form is kept as the single-anchor shorthand.
+    ExpondJson here yields a map column (the reference flattens into
+    FieldName_<key> contents — the map is the table-land equivalent;
+    a downstream SPL parse-json expands it when columns are needed)."""
+    source = cfg.get("SourceKey", cfg.get("source", "text"))
+    anchors = cfg.get("Anchors")
+    if anchors is None:
+        anchors = [{
+            "Start": cfg.get("Start", cfg.get("start", "")),
+            "Stop": cfg.get("Stop", cfg.get("stop", "")),
+            "FieldName": cfg.get("FieldName", cfg.get("dest")),
+            "ExpondJson": cfg.get(
+                "ExpandJson", cfg.get("expand_json", False)),
+        }]
+
+    def run(df):
+        for a in anchors:
+            df = anchor(
+                df,
+                source=source,
+                start=a.get("Start", ""),
+                stop=a.get("Stop", ""),
+                dest=a["FieldName"],
+                expand_json=bool(
+                    a.get("ExpondJson", a.get("ExpandJson", False))
+                ),
+            )
+        return df
+
+    return run
 
 
 @register("processor_gotime")

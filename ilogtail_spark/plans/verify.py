@@ -206,6 +206,37 @@ def log_order_valid(
     )
 
 
+def kafka_partitions_at_least(
+    df: DataFrame, n: int, contents_col: str = "contents"
+) -> None:
+    """kafka_partition.go PartitionsAtLeast ('the kafka partitions at
+    least {n}'): the subscriber saw >= n distinct partitions."""
+    got = (
+        df.select(F.element_at(F.col(contents_col), F.lit("partition")))
+        .distinct()
+        .count()
+    )
+    assert got >= n, f"want at least {n} kafka partitions, got {got}"
+
+
+def kafka_partitions_consistent_by_field(
+    df: DataFrame, field: str, contents_col: str = "contents"
+) -> None:
+    """kafka_partition.go ConsistentByField ('the kafka partitions
+    consistent by field {f}'): every distinct field value lands on
+    exactly ONE partition — the hash partitioner's contract."""
+    c = F.col(contents_col)
+    row = (
+        df.groupBy(F.element_at(c, F.lit(field)).alias("_f"))
+        .agg(F.countDistinct(F.element_at(c, F.lit("partition"))).alias("_n"))
+        .agg(F.max("_n"))
+        .first()
+    )
+    assert (row[0] or 0) <= 1, (
+        f"field {field} spread across {row[0]} partitions"
+    )
+
+
 def log_labels_match(
     df: DataFrame, labels: Sequence[str], contents_col: str = "contents"
 ) -> None:
