@@ -1425,18 +1425,39 @@ def parse_container_log(
     source: str = "text",
     fmt: str = "docker",  # docker (json-file) | cri (containerd)
     options: ParserOptions | None = None,
+    ignoring_stdout: bool = False,
+    ignoring_stderr: bool = False,
 ) -> DataFrame:
     """processor_parse_container_log_native
     (core/plugin/processor/inner/ProcessorParseContainerLogNative.cpp:32):
     docker json-file lines ``{"log":...,"stream":...,"time":...}`` or
-    containerd/CRI ``<time> <stream> <P|F> <log>``. Emits the
-    reference's content/_source_/_time_ fields."""
+    containerd/CRI ``<time> <stream> [P|F ]<log>``. Emits the
+    reference's content/_source_/_time_ fields (the partial flag as a
+    ``_partial`` boolean — the table form of the reference's ``P``
+    content + HAS_PART_LOG group flag the multiline merger consumes).
+
+    CRI semantics EXACT per ParseContainerdTextLogLine (.cpp:176-252,
+    edge table in ProcessorParseContainerLogNativeUnittest
+    TestContainerdLog): fail when the first/second delimiter is
+    missing or the stream token is not stdout/stderr; a rest that
+    does not OPEN with P/F is all content (flag-less lines are
+    valid); P/F counts as a flag only when the very next char is the
+    delimiter (``'P'`` alone or ``'PP 1'`` are content); only a
+    flagged ``P `` marks partial. Ignoring{Stdout,Stderr} DROP the
+    stream's rows (.cpp:215-226), matching the e2e stdio config."""
     opts = options or ParserOptions()
     if fmt == "docker":
         parsed = F.from_json(
             F.col(source), "struct<log:string, stream:string, time:string>"
         )
-        ok = parsed.isNotNull() & parsed["log"].isNotNull()
+        # ALL THREE keys required (TestParseDockerLog: a line missing
+        # stream OR time fails, not just missing log)
+        ok = (
+            parsed.isNotNull()
+            & parsed["log"].isNotNull()
+            & parsed["stream"].isNotNull()
+            & parsed["time"].isNotNull()
+        )
         out = (
             df.withColumn("_cl", parsed)
             .withColumn("content", F.when(ok, F.col("_cl.log")))
@@ -1445,20 +1466,33 @@ def parse_container_log(
             .drop("_cl")
         )
     elif fmt == "cri":
-        parts = F.split(F.col(source), " ", 4)
+        s = F.col(source)
+        p1 = F.locate(" ", s)
+        after1 = F.substring(s, p1 + 1, F.length(s))
+        q2 = F.locate(" ", after1)  # 2nd delimiter, relative
+        src_val = F.substring(after1, 1, q2 - 1)
         ok = (
-            F.col(source).isNotNull()
-            & (F.size(parts) == 4)
-            & F.element_at(parts, 3).isin("P", "F")
+            s.isNotNull() & (p1 > 0) & (q2 > 0)
+            & src_val.isin("stdout", "stderr")
         )
+        rest = F.substring(after1, q2 + 1, F.length(s))
+        first = F.substring(rest, 1, 1)
+        # P/F is a FLAG only when immediately followed by the
+        # delimiter (pch3 == pch2+2); otherwise it is content
+        flagged = first.isin("P", "F") & (F.substring(rest, 2, 1) == " ")
+        content = F.when(flagged, F.substring(rest, 3, F.length(rest))).otherwise(rest)
         out = (
-            df.withColumn("_time_", F.when(ok, F.element_at(parts, 1)))
-            .withColumn("_source_", F.when(ok, F.element_at(parts, 2)))
-            .withColumn("_partial", F.when(ok, F.element_at(parts, 3) == "P"))
-            .withColumn("content", F.when(ok, F.element_at(parts, 4)))
+            df.withColumn("_time_", F.when(ok, F.substring(s, 1, p1 - 1)))
+            .withColumn("_source_", F.when(ok, src_val))
+            .withColumn("_partial", F.when(ok, flagged & (first == "P")))
+            .withColumn("content", F.when(ok, content))
         )
     else:
         raise ValueError(fmt)
+    if ignoring_stdout:
+        out = out.filter(~(ok & (F.col("_source_") == "stdout")))
+    if ignoring_stderr:
+        out = out.filter(~(ok & (F.col("_source_") == "stderr")))
     return _apply_failure_contract(out, source, ok, opts)
 
 
@@ -1662,5 +1696,10 @@ def _prom_parse_factory(**cfg):
 def _container_factory(**cfg):
     source = cfg_pop(cfg, "SourceKey", "source", default="text")
     fmt = cfg_pop(cfg, "Format", "fmt", default="docker")
+    ig_out = bool(cfg_pop(cfg, "IgnoringStdout", default=False))
+    ig_err = bool(cfg_pop(cfg, "IgnoringStderr", default=False))
     opts = _opts_from_config(cfg)
-    return lambda df: parse_container_log(df, source=source, fmt=fmt, options=opts)
+    return lambda df: parse_container_log(
+        df, source=source, fmt=fmt, options=opts,
+        ignoring_stdout=ig_out, ignoring_stderr=ig_err,
+    )

@@ -435,3 +435,83 @@ def test_prom_exposition_keep_source_if_fail_guard(spark):
         parse_prom_exposition(
             df, options=ParserOptions(keep_source_if_fail=False)
         )
+
+
+def test_container_log_containerd_edge_table(spark):
+    """ProcessorParseContainerLogNativeUnittest::TestContainerdLog
+    cases 1-5 replayed verbatim (.cpp:176-252 semantics): the P/F
+    token is a FLAG only when immediately followed by the delimiter;
+    flag-less rests are all content; a missing second delimiter or
+    bad stream token fails the line."""
+    from ilogtail_spark.operators.parse import PARSE_OK_KEY, parse_container_log
+
+    T = "2024-01-05T23:28:06.818486411+08:00"
+    rows = [
+        ("c1", f"{T} stdout P "),       # flag P, empty content, partial
+        ("c2", f"{T} stdout P"),        # 'P' alone IS the content
+        ("c3", f"{T} stdout "),         # empty flag-less content
+        ("c4", f"{T} stdout"),          # no 2nd delimiter -> fail
+        ("c5", f"{T}stdout"),           # no 1st... one token -> fail
+        ("c6", f"{T} stdout PP 1"),     # 'PP 1' is content (.cpp:237)
+        ("c7", f"{T} stdout hello world"),  # flag-less content
+        ("c8", f"{T} stdout F done"),   # full flag, not partial
+        ("c9", f"{T} nonsense F x"),    # bad stream token -> fail
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in parse_container_log(df, fmt="cri").collect()}
+    assert out["c1"][PARSE_OK_KEY] and out["c1"]["content"] == "" \
+        and out["c1"]["_partial"] is True
+    assert out["c2"][PARSE_OK_KEY] and out["c2"]["content"] == "P" \
+        and out["c2"]["_partial"] is False
+    assert out["c3"][PARSE_OK_KEY] and out["c3"]["content"] == "" \
+        and out["c3"]["_partial"] is False
+    for bad in ("c4", "c5", "c9"):
+        assert not out[bad][PARSE_OK_KEY], bad
+        assert out[bad]["__raw_log__"] is not None
+    assert out["c6"]["content"] == "PP 1" and out["c6"]["_partial"] is False
+    assert out["c7"]["content"] == "hello world"
+    assert out["c8"]["content"] == "done" and out["c8"]["_partial"] is False
+    # every passing row carries time + source
+    assert out["c1"]["_time_"] == T and out["c1"]["_source_"] == "stdout"
+
+
+def test_container_log_docker_requires_all_three_keys(spark):
+    """TestParseDockerLog: log/stream/time are ALL required — a line
+    missing any of them (or truncated/cut JSON) fails; escapes and
+    unicode in log survive from_json."""
+    from ilogtail_spark.operators.parse import PARSE_OK_KEY, parse_container_log
+
+    rows = [
+        ("ok", '{"log":"Hello, World!","stream":"stdout","time":"2021-12-01T00:00:00.000Z"}'),
+        ("trunc", '{"log":"Hello, World!","stream":"stdout","time":"2021-12-01T00:00:00.000Z'),
+        ("empty", ""),
+        ("no_stream_time", '{"log":"Hello, World!"}'),
+        ("no_time", '{"log":"Hello, World!","stream":"stdout"}'),
+        ("no_stream", '{"log":"Hello, World!","time":"2021-12-01T00:00:00.000Z"}'),
+        ("esc", '{"log":"a \\" b \\n c","stream":"stdout","time":"2021-12-01T00:00:00.000Z"}'),
+        ("cut", 'og":"Hello, world","stream":"stdout","time":"2021-12-01T00:00:00.000Z"}'),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in parse_container_log(df, fmt="docker").collect()}
+    assert out["ok"][PARSE_OK_KEY]
+    for bad in ("trunc", "empty", "no_stream_time", "no_time", "no_stream", "cut"):
+        assert not out[bad][PARSE_OK_KEY], bad
+    assert out["esc"][PARSE_OK_KEY] and out["esc"]["content"] == 'a " b \n c'
+
+
+def test_container_log_ignoring_streams(spark):
+    """TestIgnoringStdoutStderr (.cpp:215-226): the ignored stream's
+    rows are DROPPED, not failed."""
+    from ilogtail_spark.operators.parse import parse_container_log
+
+    T = "2024-01-05T23:28:06.818486411+08:00"
+    df = spark.createDataFrame(
+        [("a", f"{T} stdout x"), ("b", f"{T} stderr y"), ("c", "garbage")],
+        ["id", "text"],
+    )
+    out = parse_container_log(df, fmt="cri", ignoring_stderr=True).collect()
+    ids = sorted(r["id"] for r in out)
+    assert ids == ["a", "c"]  # stderr dropped, failure kept as raw
+    out2 = parse_container_log(df, fmt="cri", ignoring_stdout=True,
+                               ignoring_stderr=True).collect()
+    assert sorted(r["id"] for r in out2) == ["c"]
