@@ -2383,6 +2383,44 @@ def _q_influx_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_statsd_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """statsd/dogstatsd decode (pkg/protocol/decoder/statsd/decoder.go
+    :44-64; operators/statsd.py): every 7th synthesized line is
+    malformed (dropped), even ids carry a #tag term (sorted k#$#v
+    labels), the rest emit one metric log each. Closed-form roundtrip
+    oracle like q94."""
+    from ilogtail_spark.operators.statsd import statsd_decode
+
+    ev = load_table(spark, sf, "events")
+    eid = F.col("event_id")
+    mtype = F.when(eid % 3 == 0, "c").when(eid % 3 == 1, "g").otherwise("ms")
+    line = F.when(eid % 7 == 0, F.lit("malformed line")).otherwise(
+        F.concat(
+            F.lit("stat_"), F.col("event_type"),
+            F.lit(":"), (eid % 100).cast("string"), F.lit(".5|"), mtype,
+            F.lit("|@0.5"),
+            F.when(
+                eid % 2 == 0,
+                F.concat(
+                    F.lit("|#host:h"), (eid % 5).cast("string"),
+                    F.lit(",env:e"), (eid % 3).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+    )
+    out = statsd_decode(
+        ev.select(eid.alias("event_id"), line.alias("content")),
+        "content", keep=["event_id"], default_now_ns=1700000000000000000,
+    )
+    return out.select(
+        "event_id",
+        F.col("__name__").alias("name"),
+        F.col("__labels__").alias("labels"),
+        F.col("__time_nano__").alias("time_nano"),
+        F.col("__value__").alias("value"),
+    )
+
+
 def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     """flusher_prometheus remote-write encode∘decode roundtrip
     (pkg/protocol/encoder/prometheus/utils.go:44-86;
@@ -2583,6 +2621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_duplicated_spans": _q_duplicated_spans,
         "q93_context_pack": _q_context_pack,
         "q94_influx_decode": _q_influx_decode,
+        "q95_statsd_decode": _q_statsd_decode,
     }
     return {**head, **tail}
 
@@ -2990,6 +3029,19 @@ def oracle_sql() -> dict[str, str]:
            SELECT event_id, m || ':count', labels, time_nano,
                   'int', 'count', CAST(event_id % 7 AS VARCHAR), 'mydb'
            FROM u""",
+        # q95: statsd decode roundtrip — closed form of the synthesized
+        # lines (every 7th malformed -> dropped; even ids carry tags,
+        # sorted env < host; the float value always has a .5 fraction)
+        "q95_statsd_decode": """
+           SELECT event_id,
+                  'stat_' || event_type AS name,
+                  CASE WHEN event_id % 2 = 0
+                       THEN 'env#$#e' || CAST(event_id % 3 AS VARCHAR)
+                            || '|host#$#h' || CAST(event_id % 5 AS VARCHAR)
+                       ELSE '' END AS labels,
+                  '1700000000000000000' AS time_nano,
+                  CAST(event_id % 100 AS VARCHAR) || '.5' AS value
+           FROM events WHERE event_id % 7 <> 0""",
         # q92: duplicated spans — same gram index + interval-union
         # (the fold becomes a running-max window), exact integers;
         # oracle positions are 1-based vs Spark's 0-based posexplode,

@@ -133,8 +133,15 @@ def influx_decode(
         time_nano.alias("__time_nano__"),
         F.when(line_ok, F.split(F.element_at(sec, 2), ",", -1)).alias("_fs"),
     ).withColumn("_fld", F.explode("_fs"))
-    k = _unmask(F.substring_index(F.col("_fld"), "=", 1))
-    vm = F.element_at(F.split(F.col("_fld"), "=", 2), 2)
+    # materialize the (key, masked value) pair in its OWN projection:
+    # a column used by the next projection evaluates once, whereas the
+    # split/replace subexpressions inlined under every CASE branch
+    # would re-run ~10x per row (repo one-pass idiom, parse.py:190)
+    base = base.withColumn(
+        "_k", _unmask(F.substring_index(F.col("_fld"), "=", 1))
+    ).withColumn("_vm", F.element_at(F.split(F.col("_fld"), "=", 2), 2))
+    k = F.col("_k")
+    vm = F.col("_vm")
     is_str = vm.startswith('"') & vm.endswith('"') & (F.length(vm) >= 2)
     is_int = vm.rlike("^-?[0-9]+i$")
     is_uint = vm.rlike("^[0-9]+u$")
@@ -154,8 +161,7 @@ def influx_decode(
         .otherwise(go_num(fv))
     )
     out = (
-        base.withColumn("_k", k)
-        .withColumn("__type__", vtype)
+        base.withColumn("__type__", vtype)
         .withColumn("__value__", value)
         .filter(
             F.col("__type__").isNotNull()
@@ -190,10 +196,10 @@ def _http_server_factory(**cfg):
     reachable through their dedicated processors; only influxdb is
     wired here (the remaining e2e-exercised decoder)."""
     fmt = cfg_pop(cfg, "Format", "format")
-    if fmt != "influxdb":
+    if fmt not in ("influxdb", "statsd"):
         raise ValueError(
             f"service_http_server: unsupported Format '{fmt}' "
-            "(influxdb only; sls/prometheus/otlp have dedicated "
+            "(influxdb/statsd here; sls/prometheus/otlp have dedicated "
             "processors)"
         )
     source = cfg_pop(cfg, "SourceKey", "source", default="content")
@@ -203,6 +209,12 @@ def _http_server_factory(**cfg):
     now_ns = int(cfg_pop(cfg, "DefaultNowNs", default=0))
     # Address/port config is transport-only — accepted and ignored
     cfg_pop(cfg, "Address", "address", default=None)
+    if fmt == "statsd":
+        from ilogtail_spark.operators.statsd import statsd_decode
+
+        return lambda df: statsd_decode(
+            df, source, keep=keep, default_now_ns=now_ns
+        )
     return lambda df: influx_decode(
         df, source, keep=keep, fields_extend=fields_extend, db=db,
         default_now_ns=now_ns,

@@ -207,3 +207,53 @@ def test_plan_is_single_codegen_pass(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+# --------------------------------------------------------------------------
+# statsd decode (operators/statsd.py)
+# --------------------------------------------------------------------------
+
+def test_statsd_decode(spark):
+    """decoder.go:44-64 semantics over dogstatsd lines: one metric log
+    per valid line; tags sorted k#$#v; @rate ignored; blank / no-colon
+    / bad-value / unknown-type / set lines skipped."""
+    from ilogtail_spark.operators.statsd import statsd_decode
+
+    lines = [
+        "page.views:1|c",
+        "fuel.level:0.5|g",
+        "song.length:240|h|@0.5",
+        "users.uniques:1234|s",               # set: skipped (docstring)
+        "req.time:12.5|ms|#env:prod,region:us",
+        "tagged:3|c|@0.1|#b:2,a:1,bare",
+        "",                                    # blank
+        "nocolon",                             # no ':'
+        ":5|c",                                # empty name
+        "bad.value:xx|c",                      # non-numeric
+        "weird:1|q",                           # unknown type
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "content string")
+    out = {r["__name__"]: r for r in statsd_decode(
+        df, "content", default_now_ns=1700000000000000000).collect()}
+    assert sorted(out) == [
+        "fuel.level", "page.views", "req.time", "song.length", "tagged",
+    ]
+    assert out["page.views"]["__value__"] == "1"
+    assert out["fuel.level"]["__value__"] == "0.5"
+    assert out["song.length"]["__value__"] == "240"  # @rate ignored
+    assert out["req.time"]["__labels__"] == "env#$#prod|region#$#us"
+    # tags sorted by key; bare tag gets the empty value
+    assert out["tagged"]["__labels__"] == "a#$#1|b#$#2|bare#$#"
+    assert out["page.views"]["__labels__"] == ""
+    assert all(r["__time_nano__"] == "1700000000000000000"
+               for r in out.values())
+
+
+def test_statsd_registry(spark):
+    from ilogtail_spark.operators import OPERATORS
+
+    fn = OPERATORS["service_http_server"](Format="statsd",
+                                          DefaultNowNs=1)
+    df = spark.createDataFrame([("cpu:2|g",)], "content string")
+    r = fn(df).collect()[0]
+    assert r["__name__"] == "cpu" and r["__value__"] == "2"
