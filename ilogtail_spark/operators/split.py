@@ -439,9 +439,78 @@ def _split_log_regex_factory(**cfg):
     )
 
 
+def merge_by_flag(
+    df: DataFrame,
+    source: str = "content",
+    order_col: str = "turn_idx",
+    group_cols: list[str] | tuple[str, ...] = ("conv_id",),
+    partial_col: str = "_partial",
+) -> DataFrame:
+    """processor_merge_multiline_log_native ``MergeType::BY_FLAG``
+    (ProcessorMergeMultilineLogNative.cpp:113-159): a maximal run of
+    PARTIAL rows plus the first following full row merge into ONE log
+    — contents concatenated with NO line break (MergeEvents
+    insertLineBreak=false, .cpp:176-201), the run's FIRST row's other
+    fields survive, the partial flag is consumed (DelContent
+    PartLogFlag); a dangling partial run at group end still merges.
+    The producer of the flag is parse_container_log's ``_partial``
+    (the containerd P tag).
+
+    Closed form: a new segment opens exactly where the PREVIOUS row
+    (in ``order_col`` order) is non-partial, so segment id = running
+    count of those boundaries — one window + one groupBy, both keyed
+    by the group, state bounded by group size (same scale shape as
+    split_multiline)."""
+    gcols = list(group_cols)
+    w = Window.partitionBy(*gcols).orderBy(order_col)
+    is_p = F.coalesce(F.col(partial_col).cast("boolean"), F.lit(False))
+    new_seg = F.when(F.coalesce(F.lag(is_p).over(w), F.lit(False)), 0).otherwise(1)
+    x = df.withColumn("_seg", F.sum(new_seg).over(w))
+    others = [
+        c for c in df.columns
+        if c not in set(gcols) | {source, order_col, partial_col}
+    ]
+    merged = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("_o"),
+                        F.col(source).alias("_c"),
+                    )
+                )
+            ),
+            lambda s: s["_c"],
+        ),
+    )
+    return (
+        x.groupBy(*gcols, "_seg")
+        .agg(
+            F.min(order_col).alias(order_col),
+            merged.alias(source),
+            *[F.min_by(F.col(c), F.col(order_col)).alias(c) for c in others],
+        )
+        .drop("_seg")
+    )
+
+
 @register("processor_split_multiline_log_string_native")
 @register("processor_merge_multiline_log_native")
 def _split_multiline_factory(**cfg):
+    # MergeType flag (ProcessorMergeMultilineLogNative.cpp:61) selects
+    # the partial-flag merge; the default BY_REGEX path falls through
+    # to split_multiline
+    if str(cfg.get("MergeType", "regex")).lower() == "flag":
+        cfg.pop("MergeType")
+        source = cfg_pop(cfg, "SourceKey", "source", default="content")
+        order_col = cfg_pop(cfg, "order_col", default="turn_idx")
+        group_cols = cfg_pop(cfg, "group_cols", default=["conv_id"])
+        partial_col = cfg_pop(cfg, "partial_col", default="_partial")
+        return lambda df: merge_by_flag(
+            df, source, order_col, group_cols, partial_col
+        )
+    cfg.pop("MergeType", None)
     source = cfg_pop(cfg, "SourceKey", "SplitKey", "source", default="text")
     start = cfg_pop(cfg, "StartPattern", "SplitRegex", "start_pattern", default=None)
     cont = cfg_pop(cfg, "ContinuePattern", "continue_pattern", default=None)

@@ -268,3 +268,59 @@ def test_multiline_start_end_overlap_exact(spark):
         start_pattern=r"^START|^BOTH", end_pattern=r"^END|^BOTH",
     )
     assert _merged(out2) == [(0, "END"), (1, "START\na\nBOTH"), (4, "BOTH\nEND")]
+
+
+def test_merge_by_flag_walk(spark):
+    """ProcessorMergeMultilineLogNative BY_FLAG (.cpp:113-159): the
+    P P F / P F / F walk — runs of partials merge with the following
+    full row, NO line break, first row's fields survive, dangling
+    partials still merge."""
+    from ilogtail_spark.operators.split import merge_by_flag
+
+    rows = [
+        ("g", 1, "aa", True, "t1"),
+        ("g", 2, "bb", True, "t2"),
+        ("g", 3, "cc", False, "t3"),   # P P F -> aabbcc
+        ("g", 4, "dd", True, "t4"),
+        ("g", 5, "ee", False, "t5"),   # P F -> ddee
+        ("g", 6, "ff", False, "t6"),   # solo F
+        ("g", 7, "gg", True, "t7"),    # dangling P at group end
+        ("h", 1, "xx", False, "u1"),   # other group untouched
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, content string, "
+        "_partial boolean, _time_ string")
+    out = {(r["conv_id"], r["turn_idx"]): r for r in merge_by_flag(
+        df, "content", "turn_idx", ["conv_id"]).collect()}
+    assert len(out) == 5
+    assert out[("g", 1)]["content"] == "aabbcc"
+    assert out[("g", 1)]["_time_"] == "t1"  # FIRST row survives
+    assert out[("g", 4)]["content"] == "ddee"
+    assert out[("g", 6)]["content"] == "ff"
+    assert out[("g", 7)]["content"] == "gg"
+    assert out[("h", 1)]["content"] == "xx"
+    assert "_partial" not in out[("g", 1)].asDict()  # flag consumed
+
+
+def test_cri_parse_then_merge_by_flag(spark):
+    """The real pairing: containerd P-tagged lines through
+    parse_container_log(cri) then MergeType=flag — split long lines
+    reassemble without separators."""
+    from ilogtail_spark.operators import OPERATORS
+    from ilogtail_spark.operators.parse import parse_container_log
+
+    T = "2024-01-05T23:28:06.818486411+08:00"
+    df = spark.createDataFrame(
+        [("c", 1, f"{T} stdout P hello "),
+         ("c", 2, f"{T} stdout P wor"),
+         ("c", 3, f"{T} stdout F ld"),
+         ("c", 4, f"{T} stdout F next")],
+        "conv_id string, turn_idx int, text string",
+    )
+    parsed = parse_container_log(df, fmt="cri").drop(
+        "text", "__parse_ok__", "__raw_log__")
+    fn = OPERATORS["processor_merge_multiline_log_native"](MergeType="flag")
+    out = sorted(
+        (r["turn_idx"], r["content"]) for r in fn(parsed).collect()
+    )
+    assert out == [(1, "hello world"), (4, "next")]
