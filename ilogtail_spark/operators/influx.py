@@ -196,12 +196,6 @@ def _http_server_factory(**cfg):
     reachable through their dedicated processors; only influxdb is
     wired here (the remaining e2e-exercised decoder)."""
     fmt = cfg_pop(cfg, "Format", "format")
-    if fmt not in ("influxdb", "statsd"):
-        raise ValueError(
-            f"service_http_server: unsupported Format '{fmt}' "
-            "(influxdb/statsd here; sls/prometheus/otlp have dedicated "
-            "processors)"
-        )
     source = cfg_pop(cfg, "SourceKey", "source", default="content")
     keep = cfg_pop(cfg, "Keep", "keep", default=None)
     fields_extend = bool(cfg_pop(cfg, "FieldsExtend", default=False))
@@ -215,7 +209,27 @@ def _http_server_factory(**cfg):
         return lambda df: statsd_decode(
             df, source, keep=keep, default_now_ns=now_ns
         )
-    return lambda df: influx_decode(
-        df, source, keep=keep, fields_extend=fields_extend, db=db,
-        default_now_ns=now_ns,
+    if fmt == "influxdb":
+        return lambda df: influx_decode(
+            df, source, keep=keep, fields_extend=fields_extend, db=db,
+            default_now_ns=now_ns,
+        )
+    # the remaining body decoders route to their existing operators
+    if fmt == "raw":
+        # decoder/raw: the body IS the content field, verbatim
+        from pyspark.sql import functions as F
+
+        return lambda df: df.withColumn("content", F.col(source))
+    if fmt == "sls":
+        from ilogtail_spark.operators.pb import sls_pb_decode
+
+        return lambda df: sls_pb_decode(df, source, keep=keep)
+    if fmt == "prometheus":
+        from ilogtail_spark.operators.parse import parse_prom_metric
+
+        return lambda df: parse_prom_metric(df, source)
+    raise ValueError(
+        f"service_http_server: unsupported Format '{fmt}' "
+        "(influxdb/statsd/raw/sls/prometheus; otlp has the dedicated "
+        "processor_otel_* pair; pyroscope profiling is out of scope)"
     )

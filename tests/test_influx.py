@@ -257,3 +257,32 @@ def test_statsd_registry(spark):
     df = spark.createDataFrame([("cpu:2|g",)], "content string")
     r = fn(df).collect()[0]
     assert r["__name__"] == "cpu" and r["__value__"] == "2"
+
+
+def test_http_server_other_formats(spark):
+    """Format raw/sls/prometheus route to the existing decoders."""
+    from ilogtail_spark.operators import OPERATORS
+    from ilogtail_spark.operators.pb import LOG_GROUP, encode_message
+
+    raw = OPERATORS["service_http_server"](Format="raw")
+    df = spark.createDataFrame([("hello",)], "body string")
+    assert raw(df.withColumnRenamed("body", "content")).collect()[0][
+        "content"] == "hello"
+
+    pb = encode_message(
+        {"logs": [{"time": 1, "contents": [{"key": "k", "value": "v"}]}]},
+        LOG_GROUP,
+    )
+    sls = OPERATORS["service_http_server"](Format="sls")
+    out = sls(spark.createDataFrame([(bytearray(pb),)],
+                                    "content binary")).collect()
+    assert out[0]["contents"] == {"k": "v"}
+
+    prom = OPERATORS["service_http_server"](Format="prometheus")
+    out = prom(spark.createDataFrame(
+        [('cpu{host="h1"} 42 1700000000000',)], "content string")).collect()
+    assert out[0]["__name__"] == "cpu"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="pyroscope"):
+        OPERATORS["service_http_server"](Format="pyroscope")
