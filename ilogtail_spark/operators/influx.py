@@ -125,6 +125,10 @@ def influx_decode(
         & (measurement != "")
         # ParsePoints skips blank and '#'-comment lines
         & ~F.ltrim(F.col(source_col)).startswith("#")
+        # ...and ERRORS on a malformed timestamp — a present stamp must
+        # be 1-19 digits (longer would silently truncate under rpad;
+        # signs/garbage would mangle); such lines DROP here
+        & F.coalesce(ts_tok.rlike("^[0-9]{1,19}$"), F.lit(True))
     )
     base = df.select(
         *keep,
@@ -139,7 +143,12 @@ def influx_decode(
     # would re-run ~10x per row (repo one-pass idiom, parse.py:190)
     base = base.withColumn(
         "_k", _unmask(F.substring_index(F.col("_fld"), "=", 1))
-    ).withColumn("_vm", F.element_at(F.split(F.col("_fld"), "=", 2), 2))
+    ).withColumn(
+        # try_element_at: a field token WITHOUT '=' splits to one
+        # element, and ANSI element_at would fail the whole job
+        # instead of dropping the field (NULL _vm -> NULL type below)
+        "_vm", F.try_element_at(F.split(F.col("_fld"), "=", 2), F.lit(2))
+    )
     k = F.col("_k")
     vm = F.col("_vm")
     is_str = vm.startswith('"') & vm.endswith('"') & (F.length(vm) >= 2)

@@ -1097,18 +1097,13 @@ def _opts_from_config(cfg: dict) -> ParserOptions:
     # KeepingSourceWhenParseFail (CommonParserOptions.h) — YAML configs
     # in the wild use either
     return ParserOptions(
-        keep_source=cfg.pop(
-            "KeepSource",
-            cfg.pop(
-                "KeepingSourceWhenParseSucceed", cfg.pop("keep_source", False)
-            ),
+        keep_source=cfg_pop(
+            cfg, "KeepSource", "KeepingSourceWhenParseSucceed",
+            "keep_source", default=False,
         ),
-        keep_source_if_fail=cfg.pop(
-            "KeepSourceIfParseError",
-            cfg.pop(
-                "KeepingSourceWhenParseFail",
-                cfg.pop("keep_source_if_fail", True),
-            ),
+        keep_source_if_fail=cfg_pop(
+            cfg, "KeepSourceIfParseError", "KeepingSourceWhenParseFail",
+            "keep_source_if_fail", default=True,
         ),
         discard_unmatch=cfg_pop(cfg, "DiscardUnmatch", "discard_unmatch", default=False),
     )

@@ -85,9 +85,10 @@ _KIND_TO_PTYPE = {
 
 _PACKAGE = "ilogtail_spark"
 
-# every descriptor dict in pb.py, with its proto message name. id()
-# keys double as the cycle guard for the recursive AnyValue tree.
-_MSG_NAMES: dict[int, str] = {}
+# every descriptor dict in pb.py, with its (pb.py attr, proto message
+# name). id() keys double as the cycle guard for the recursive
+# AnyValue tree and resolve sub-descriptor references by identity.
+_MSG_NAMES: dict[int, tuple[str, str]] = {}
 for _pyname, _proto in [
     ("LOG_CONTENT", "LogContent"), ("LOG", "Log"), ("LOG_TAG", "LogTag"),
     ("LOG_GROUP", "LogGroup"),
@@ -110,22 +111,19 @@ for _pyname, _proto in [
     ("PROM_TIMESERIES", "PromTimeSeries"),
     ("PROM_WRITE_REQUEST", "PromWriteRequest"),
 ]:
-    _MSG_NAMES[id(getattr(_pb, _pyname))] = _proto
+    _MSG_NAMES[id(getattr(_pb, _pyname))] = (_pyname, _proto)
+
+assert len({p for _a, p in _MSG_NAMES.values()}) == len(_MSG_NAMES), (
+    "duplicate proto message name in _MSG_NAMES"
+)
 
 
 def _descriptor_protos() -> list[dict]:
     """Every named descriptor dict as a DescriptorProto message dict
     (for encode_message against _META_MESSAGE)."""
     out = []
-    seen_names = set()
-    for did, mname in _MSG_NAMES.items():
-        assert mname not in seen_names, f"duplicate message name {mname}"
-        seen_names.add(mname)
-    for did, mname in _MSG_NAMES.items():
-        desc = next(
-            getattr(_pb, p) for p in dir(_pb)
-            if isinstance(getattr(_pb, p), dict) and id(getattr(_pb, p)) == did
-        )
+    for attr, mname in _MSG_NAMES.values():
+        desc = getattr(_pb, attr)
         fields = []
         for fno in sorted(desc):
             fname, kind, repeated, sub = desc[fno]
@@ -136,11 +134,11 @@ def _descriptor_protos() -> list[dict]:
                 "type": _KIND_TO_PTYPE[kind],
             }
             if kind == "message":
-                sub_name = _MSG_NAMES.get(id(sub))
-                assert sub_name is not None, (
+                entry = _MSG_NAMES.get(id(sub))
+                assert entry is not None, (
                     f"{mname}.{fname}: sub-descriptor not in _MSG_NAMES"
                 )
-                f["type_name"] = f".{_PACKAGE}.{sub_name}"
+                f["type_name"] = f".{_PACKAGE}.{entry[1]}"
             fields.append(f)
         out.append({"name": mname, "field": fields})
     return out
@@ -164,7 +162,7 @@ def descriptor_set_bytes() -> bytes:
 
 def message_name(desc: dict) -> str:
     """Fully-qualified proto name for a pb.py descriptor dict."""
-    return f"{_PACKAGE}.{_MSG_NAMES[id(desc)]}"
+    return f"{_PACKAGE}.{_MSG_NAMES[id(desc)][1]}"
 
 
 def jvm_available(spark) -> bool:
@@ -220,10 +218,18 @@ def sls_pb_decode_jvm(
         out = out.filter(F.col("_g").isNotNull())
         out = out.withColumn("_log", F.explode("_g.logs"))
     else:
-        # explode_outer keeps the one NULL-log row for an undecodable
-        # payload (the Python leg's `or [{}]` branch)
+        # the Python leg emits ONE NULL-log row for an UNDECODABLE
+        # payload (`or [{}]`) but ZERO rows for a valid group with no
+        # logs — so only backfill the array when the decode failed
+        # (plain explode_outer would add a spurious row for the valid
+        # empty-logs group)
         out = out.withColumn("_pb_ok", F.col("_g").isNotNull())
-        out = out.withColumn("_log", F.explode_outer("_g.logs"))
+        logs = F.when(F.col("_pb_ok"), F.col("_g.logs")).otherwise(
+            F.expr("array(null)").cast(
+                out.schema["_g"].dataType["logs"].dataType
+            )
+        )
+        out = out.withColumn("_log", F.explode(logs))
     empty_map = F.map_from_arrays(
         F.array().cast("array<string>"), F.array().cast("array<string>")
     )
@@ -232,7 +238,21 @@ def sls_pb_decode_jvm(
         F.coalesce(F.col("_g.source"), F.lit("")).alias("source"),
         F.coalesce(F.col("_g.category"), F.lit("")).alias("category"),
         F.coalesce(F.col("_g.machineUuid"), F.lit("")).alias("machine_uuid"),
-        F.coalesce(map_last_wins(F.col("_g.logTags")), empty_map).alias("tags"),
+        # NULL-coalesce tag keys/values like the contents path — a
+        # key-less LogTag would otherwise crash map_from_entries, and
+        # the Python leg's .get(..., '') yields '' for absent fields
+        F.coalesce(
+            map_last_wins(
+                F.transform(
+                    F.col("_g.logTags"),
+                    lambda t: F.struct(
+                        F.coalesce(t["key"], F.lit("")).alias("key"),
+                        F.coalesce(t["value"], F.lit("")).alias("value"),
+                    ),
+                )
+            ),
+            empty_map,
+        ).alias("tags"),
         F.col("_log.time").cast("bigint").alias("log_time"),
         F.col("_log.timeNs").cast("bigint").alias("time_ns"),
         F.coalesce(

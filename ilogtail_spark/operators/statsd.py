@@ -59,14 +59,21 @@ def statsd_decode(
     tag_term = F.try_element_at(
         F.filter(parts, lambda p: p.startswith("#")), F.lit(1)
     )
+    def tag_struct(t):
+        # key:value splits on the FIRST colon (dogstatsd SplitN(":",2))
+        # — substring_index(..., -1) would truncate values carrying
+        # colons (URLs, IPv6); a bare tag gets the empty value
+        c = F.locate(":", t)
+        return F.struct(
+            F.when(c > 0, F.substring(t, F.lit(1), c - 1))
+            .otherwise(t).alias("key"),
+            F.when(c > 0, F.substring(t, c + 1, F.length(t)))
+            .otherwise(F.lit("")).alias("value"),
+        )
+
     tag_structs = F.transform(
         F.split(F.substring(tag_term, 2, F.length(tag_term)), ","),
-        lambda t: F.struct(
-            F.substring_index(t, ":", 1).alias("key"),
-            F.when(
-                t.contains(":"), F.substring_index(t, ":", -1)
-            ).otherwise(F.lit("")).alias("value"),
-        ),
+        tag_struct,
     )
     labels = F.when(tag_term.isNotNull(), F.array_join(
         F.transform(

@@ -413,8 +413,10 @@ def anchor(
         col = F.when(p1 > 0, after)
     else:
         p2 = F.locate(stop, after)
+        # p2 == 1 (Stop immediately after Start) is a MATCH with the
+        # empty value in anchor.go (strings.Index == 0), not a miss
         col = F.when(
-            (p1 > 0) & (p2 > 1), F.substring(after, F.lit(1), p2 - 1)
+            (p1 > 0) & (p2 > 0), F.substring(after, F.lit(1), p2 - 1)
         )
     out = df.withColumn(dest, col)
     if expand_json:

@@ -211,11 +211,11 @@ def kafka_partitions_at_least(
 ) -> None:
     """kafka_partition.go PartitionsAtLeast ('the kafka partitions at
     least {n}'): the subscriber saw >= n distinct partitions."""
-    got = (
-        df.select(F.element_at(F.col(contents_col), F.lit("partition")))
-        .distinct()
-        .count()
-    )
+    p = F.element_at(F.col(contents_col), F.lit("partition"))
+    # a missing 'partition' key is NULL — it must not count as a
+    # distinct partition (the check would pass spuriously)
+    got = df.select(p.alias("_p")).filter(F.col("_p").isNotNull()) \
+        .distinct().count()
     assert got >= n, f"want at least {n} kafka partitions, got {got}"
 
 

@@ -286,3 +286,32 @@ def test_http_server_other_formats(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="pyroscope"):
         OPERATORS["service_http_server"](Format="pyroscope")
+
+
+def test_review_r5_edge_hardening(spark):
+    """Round-5 code-review findings: a field token without '=' (or a
+    trailing comma) drops the FIELD, not the job; malformed timestamps
+    (20 digits, signs, garbage) drop the LINE instead of silently
+    truncating; statsd tag values keep everything after the FIRST
+    colon."""
+    from ilogtail_spark.operators.statsd import statsd_decode
+
+    # no-'=' token among fields: bad field dropped, good field kept
+    df = _lines_df(spark, "m foo\nm value=1,=x\nm bad,value=2")
+    out = influx_decode(df, "content").collect()
+    assert sorted(r["__value__"] for r in out) == ["1", "2"]
+    # malformed timestamps: line dropped (not truncated/mangled)
+    df = _lines_df(
+        spark,
+        "m value=1 17000000000000000000\n"   # 20 digits
+        "m value=2 -1500000000\n"            # negative
+        "m value=3 abc\n"                    # garbage
+        "m value=4 1434055562",              # valid 10-digit
+    )
+    out = influx_decode(df, "content").collect()
+    assert [r["__value__"] for r in out] == ["4"]
+    # statsd tag value with colons survives intact
+    df = spark.createDataFrame(
+        [("req:1|c|#url:http://host/x,ip:::1",)], "content string")
+    r = statsd_decode(df, "content").collect()[0]
+    assert r["__labels__"] == "ip#$#::1|url#$#http://host/x"

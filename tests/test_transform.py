@@ -224,3 +224,14 @@ def test_as_of_join_null_right_value_and_collision(spark):
     clash_left = left.withColumnRenamed("ev", "cfg")
     with pytest.raises(ValueError, match="collide"):
         as_of_join(clash_left, right, ["key"], "ts", "ts", ["cfg"])
+
+
+def test_anchor_adjacent_anchors_empty_value(spark):
+    """r5 review: Stop immediately after Start is a MATCH with the
+    empty value (anchor.go strings.Index == 0), not a miss."""
+    from ilogtail_spark.operators.transform import anchor
+
+    df = spark.createDataFrame([("a[]b",), ("a[x]b",), ("ab",)],
+                               "text string")
+    out = [r["v"] for r in anchor(df, "text", "[", "]", "v").collect()]
+    assert out == ["", "x", None]
