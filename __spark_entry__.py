@@ -613,28 +613,53 @@ def _q_time_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q_apsara_parse(spark: SparkSession, sf: str) -> DataFrame:
-    """processor_parse_apsara_native (ProcessorParseApsaraNative.cpp:
-    86-116): [time]\\t[LEVEL]\\t[tid]\\t[file:line]\\tk:v... format."""
+    """processor_parse_apsara_native — EXACT ProcessEvent semantics
+    (ProcessorParseApsaraNative.cpp:117-248), six input variants per
+    turn_idx%6 covering both time legs (epoch %s / datetime+fraction
+    with Timezone GMT+08:00), order-independent bracket classification,
+    the corrupt-bracket → KV handoff, trace_id loss, time-only lines,
+    and AddLog first-wins (a KV named ``microtime`` beats the synthetic
+    one)."""
     from ilogtail_spark.operators.parse import parse_apsara
 
-    df = derive_transcripts(spark, sf).withColumn(
-        "apsara_raw",
-        F.concat(
-            F.lit("["), F.unix_timestamp("ts").cast("string"), F.lit("]\t[INFO]\t["),
-            F.col("turn_idx").cast("string"), F.lit("]\t[pipe.cpp:42]\trole:"),
-            F.col("role"), F.lit("\tconv:"), F.col("conv_id"),
-        ),
+    ep = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).cast("long")
+    tid = F.col("turn_idx").cast("string")
+    frac6 = F.lpad((F.col("turn_idx") % 1000000).cast("string"), 6, "0")
+    v = F.col("turn_idx") % 6
+    line = (
+        F.when(v == 0, F.concat(
+            F.lit("["), ep.cast("string"), F.lit("]\t[INFO]\t["), tid,
+            F.lit("]\t[pipe.cpp:42]\trole:"), F.col("role"),
+            F.lit("\tconv:"), F.col("conv_id")))
+        .when(v == 1, F.concat(
+            F.lit("[2024-01-15 10:30:45."), frac6, F.lit("]\t[WARN]\t["), tid,
+            F.lit("]\t[svc/main.go:128]\trole:"), F.col("role")))
+        .when(v == 2, F.concat(
+            F.lit("["), ep.cast("string"), F.lit("]\t[pipe.cpp:42]\t["), tid,
+            F.lit("]\t[ERROR]\trole:"), F.col("role")))
+        .when(v == 3, F.concat(
+            F.lit("["), ep.cast("string"), F.lit("]\t[trace_id:"), tid,
+            F.lit("]\t[ERROR]\t[corrupt\tcount:"), tid, F.lit("\tjob:ss")))
+        .when(v == 4, F.concat(F.lit("["), ep.cast("string"), F.lit("]\t\t\t")))
+        .otherwise(F.concat(
+            F.lit("["), ep.cast("string"),
+            F.lit("]\t[INFO]\tmicrotime:7\tcount:1\tcount:2")))
     )
-    out = parse_apsara(df, source="apsara_raw")
+    df = derive_transcripts(spark, sf).withColumn("apsara_raw", line)
+    out = parse_apsara(df, source="apsara_raw", timezone="GMT+08:00")
+    fx = F.col("fields")
     return out.select(
         "conv_id",
         "turn_idx",
-        "apsara_time",
-        "level",
-        F.col("tid").cast("int").alias("tid"),
-        "location",
-        F.element_at("attrs", "role").alias("role_attr"),
-        F.element_at("attrs", "conv").alias("conv_attr"),
+        F.try_element_at(fx, F.lit("microtime")).alias("microtime"),
+        F.try_element_at(fx, F.lit("__LEVEL__")).alias("level"),
+        F.try_element_at(fx, F.lit("__THREAD__")).alias("thread"),
+        F.try_element_at(fx, F.lit("__FILE__")).alias("file_"),
+        F.try_element_at(fx, F.lit("__LINE__")).alias("line_"),
+        F.try_element_at(fx, F.lit("role")).alias("role_v"),
+        F.try_element_at(fx, F.lit("count")).alias("count_v"),
+        F.try_element_at(fx, F.lit("job")).alias("job_v"),
+        F.col("apsara_sec"),
     )
 
 
@@ -3918,14 +3943,31 @@ def oracle_sql() -> dict[str, str]:
            GROUP BY role""",
         "q38_apsara_parse": TRANSCRIPTS_CTE
         + """
+           , ap AS (
+              SELECT conv_id, turn_idx, role,
+                     turn_idx % 6 AS v,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM transcripts)
            SELECT conv_id, turn_idx,
-                  CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR AS apsara_time,
-                  'INFO' AS level,
-                  CAST(turn_idx AS INTEGER) AS tid,
-                  'pipe.cpp:42' AS location,
-                  role AS role_attr,
-                  conv_id AS conv_attr
-           FROM transcripts""",
+                  CASE v WHEN 1 THEN CAST(1705285845000000
+                                          + (turn_idx % 1000000) AS BIGINT)::VARCHAR
+                         WHEN 5 THEN '7'
+                         ELSE (ep * 1000000)::VARCHAR END AS microtime,
+                  CASE v WHEN 0 THEN 'INFO' WHEN 1 THEN 'WARN'
+                         WHEN 2 THEN 'ERROR' WHEN 3 THEN 'ERROR'
+                         WHEN 4 THEN NULL ELSE 'INFO' END AS level,
+                  CASE WHEN v IN (0, 1, 2) THEN turn_idx::VARCHAR END AS thread,
+                  CASE v WHEN 0 THEN 'pipe.cpp' WHEN 1 THEN 'svc/main.go'
+                         WHEN 2 THEN 'pipe.cpp' END AS file_,
+                  CASE v WHEN 0 THEN '42' WHEN 1 THEN '128'
+                         WHEN 2 THEN '42' END AS line_,
+                  CASE WHEN v IN (0, 1, 2) THEN role END AS role_v,
+                  CASE v WHEN 3 THEN turn_idx::VARCHAR
+                         WHEN 5 THEN '1' END AS count_v,
+                  CASE v WHEN 3 THEN 'ss' END AS job_v,
+                  CAST(CASE WHEN v = 1 THEN 1705285845 ELSE ep END
+                       AS BIGINT) AS apsara_sec
+           FROM ap""",
         "q39_split_roundtrip": TRANSCRIPTS_CTE
         + """
            SELECT conv_id, text AS line FROM transcripts""",

@@ -1052,38 +1052,388 @@ def parse_timestamp(
 
 
 # ---------------------------------------------------------------------------
-# apsara fixed-format
+# apsara fixed-format — EXACT ProcessorParseApsaraNative semantics
 # ---------------------------------------------------------------------------
 
-APSARA_PATTERN = r"^\[([^\]]+)\]\t\[(\w+)\]\t\[(\d+)\]\t\[([^\]]+)\](.*)$"
+APSARA_LEVEL_KEY = "__LEVEL__"
+APSARA_THREAD_KEY = "__THREAD__"
+APSARA_FILE_KEY = "__FILE__"
+APSARA_LINE_KEY = "__LINE__"
+_APSARA_MAX_BASE_FIELDS = 10
+
+# strptime "%Y-%m-%d %H:%M:%S" with conv_num's flexible 1-2-digit
+# fields and whitespace-run separator; POSSESSIVE quantifiers replicate
+# conv_num's no-backtrack greed (otherwise "…:095]" would regex-split
+# as sec=0/frac=95 where the C++ reads sec=09 and no fraction). Group 7
+# is the single skipped separator char, group 8 the fraction digits.
+_APSARA_DT = (
+    r"^\[([0-9]{4})-([0-9]{1,2}+)-([0-9]{1,2}+)\s++"
+    r"([0-9]{1,2}+):([0-9]{1,2}+):([0-9]{1,2}+)(?:([^\]])([0-9]{1,9}+))?"
+)
+
+
+def parse_apsara_tz_offset(tz: str | None) -> int:
+    """Timezone config ("GMT+08:00") → offset seconds.
+
+    ParseTimeZoneOffsetSecond (core/common/TimeUtil.cpp): the parsed
+    wall-clock is interpreted as being IN this zone.  The C++ stores
+    ``logTZ − localTZ`` and subtracts it from ``mktime``'s local-zone
+    epoch — algebraically ``epoch_utc(naive) − logTZ``, machine-zone
+    independent, which is what we compute under the pinned-UTC session.
+    """
+    if not tz:
+        return 0
+    import re as _re
+
+    m = _re.fullmatch(r"GMT([+-])(\d{1,2}):?(\d{2})", tz.strip())
+    if not m:
+        return 0  # PARAM_WARNING_IGNORE: invalid Timezone keeps offset 0
+    sign = 1 if m.group(1) == "+" else -1
+    return sign * (int(m.group(2)) * 3600 + int(m.group(3)) * 60)
+
+
+def _apsara_nsec(digits: Column) -> Column:
+    """conv_nanosecond (core/common/Strptime.cpp): a digit run scaled
+    by 10^(9−len) to nanoseconds.  Runs longer than 9 digits overflow a
+    C unsigned int in the reference — we take the first 9 (the regexes
+    cap the capture), the only deviation, on degenerate input only."""
+    return F.when(digits != "", F.rpad(digits, 9, "0").cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def apsara_time_struct(src: Column, tz_offset_sec: int = 0) -> Column:
+    """ApsaraEasyReadLogTimeParser (ProcessorParseApsaraNative.cpp:250-324)
+    as one codegen expression → struct(ok, sec, micro).
+
+    Two legs, dispatched on ``buffer[1]``:
+
+    * ``'1'`` → epoch: strptime_ns "%s" (Strptime.cpp:83-112) strtoll's
+      the WHOLE digit run, keeps the first 10 digits as seconds, reads
+      nanoseconds from digit 11 on, and succeeds only when the run ends
+      exactly at ``']'`` (``strptimeResult[0] == ']'``) — so an epoch in
+      millis/micros still parses, with the tail folded into the
+      fraction, while ``[1378882630.123]`` FAILS (strtoll stops at the
+      dot).  No timezone adjustment on this leg.
+    * else → ``%Y-%m-%d %H:%M:%S`` (19 chars strict), then ONE skipped
+      separator char and an optional digit-run fraction (junk after the
+      fraction is ignored; a failed fraction keeps the seconds);
+      ``sec −= tz_offset``.  Deviation: mktime normalizes impossible
+      dates (Feb 30 → Mar 2); we fail the parse instead
+      (try_to_timestamp), matching on all calendar-valid input.
+
+    A leading ``[`` and a ``]`` somewhere are preconditions of both legs.
+    """
+    first2 = F.substring(src, 1, 2)
+    has_close = F.instr(src, "]") > 0
+
+    # epoch leg
+    ep_digits = F.regexp_extract(src, r"^\[(1[0-9]*)\]", 1)
+    ep_ok = (first2 == "[1") & (ep_digits != "")
+    ep_sec = F.substring(ep_digits, 1, 10).try_cast("long")
+    ep_nsec = _apsara_nsec(F.substring(ep_digits, 11, 9))
+    ep_micro = ep_sec * F.lit(1000000).cast("long") + F.floor(ep_nsec / 1000)
+
+    # datetime leg
+    def g(i: int) -> Column:
+        return F.regexp_extract(src, _APSARA_DT, i)
+
+    dt_parsed = F.try_make_timestamp(
+        years=g(1).try_cast("int"),
+        months=g(2).try_cast("int"),
+        days=g(3).try_cast("int"),
+        hours=g(4).try_cast("int"),
+        mins=g(5).try_cast("int"),
+        secs=g(6).try_cast("decimal(16,6)"),
+    )
+    dt_ok = has_close & dt_parsed.isNotNull()
+    dt_sec = F.unix_timestamp(dt_parsed) - F.lit(tz_offset_sec).cast("long")
+    dt_nsec = _apsara_nsec(g(8))
+    dt_micro = dt_sec * F.lit(1000000).cast("long") + F.floor(dt_nsec / 1000)
+
+    is_epoch_leg = first2 == "[1"
+    starts = F.substring(src, 1, 1) == "["
+    ok = starts & F.when(is_epoch_leg, ep_ok).otherwise(dt_ok)
+    sec = F.when(is_epoch_leg, ep_sec).otherwise(dt_sec)
+    micro = F.when(is_epoch_leg, ep_micro).otherwise(dt_micro)
+    return F.struct(
+        ok.alias("ok"),
+        F.when(ok, sec).alias("sec"),
+        F.when(ok, micro).alias("micro"),
+    )
+
+
+def _apsara_base_spans(src: Column) -> Column:
+    """FindBaseFields (ProcessorParseApsaraNative.cpp:344-365) as one
+    fold over char positions → struct(b: array<int>, e: array<int>)
+    of 1-based (content-start, ']'-pos) spans, quirks preserved:
+
+    * every ``'['`` RESETS the pending begin (corrupt open brackets
+      swallow what precedes the next valid field),
+    * a ``']'`` is recorded only when followed by tab / newline / EOF,
+    * the scan BREAKS after any ``']'`` whose next char is a tab not
+      followed by ``'['`` (so ``\\t[corrupt\\tcount:45`` leaves the
+      corrupt segment to the KV region), and at 10 recorded fields.
+    """
+    n = F.length(src)
+    chars = F.split(src, "")
+    init = F.struct(
+        F.lit(False).alias("done"),
+        F.lit(1).alias("begin"),
+        F.array().cast("array<int>").alias("b"),
+        F.array().cast("array<int>").alias("e"),
+    )
+
+    def merge(acc: Column, i: Column) -> Column:
+        c = F.get(chars, i - 1)
+        c1 = F.get(chars, i)  # NULL past end — the C++ '\0' sentinel
+        c2 = F.get(chars, i + 1)
+        is_open = c == "["
+        is_close = c == "]"
+        recorded = is_close & (c1.isNull() | (c1 == "\t") | (c1 == "\n"))
+        stop_tab = (
+            is_close
+            & F.coalesce(c1 == "\t", F.lit(False))
+            & (c2.isNull() | (c2 != "["))
+        )
+        rec_now = ~acc["done"] & recorded
+        full_after = rec_now & (
+            F.size(acc["b"]) + 1 >= F.lit(_APSARA_MAX_BASE_FIELDS)
+        )
+        return F.struct(
+            (acc["done"] | (~acc["done"] & is_close & (full_after | stop_tab))).alias(
+                "done"
+            ),
+            F.when(~acc["done"] & is_open, i + 1)
+            .otherwise(acc["begin"])
+            .alias("begin"),
+            F.when(rec_now, F.array_append(acc["b"], acc["begin"]))
+            .otherwise(acc["b"])
+            .alias("b"),
+            F.when(rec_now, F.array_append(acc["e"], i))
+            .otherwise(acc["e"])
+            .alias("e"),
+        )
+
+    # return the fold struct VERBATIM (fields done/begin/b/e): re-wrapping
+    # would duplicate the aggregate tree — the plan-blowup trap
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))), init, merge
+    )
 
 
 def parse_apsara(
     df: DataFrame,
     source: str = "text",
     options: ParserOptions | None = None,
+    timezone: str | None = None,
+    fields_col: str = "fields",
 ) -> DataFrame:
-    """processor_parse_apsara_native (ProcessorParseApsaraNative.cpp:86-116).
+    """processor_parse_apsara_native — EXACT ProcessEvent semantics
+    (ProcessorParseApsaraNative.cpp:117-248), unit-table-verified
+    against ProcessorParseApsaraNativeUnittest::TestApsaraLogLineParser
+    (all 31 cases, tests/test_parse.py).
 
-    ``[ts]\\t[LEVEL]\\t[tid]\\t[file:line]\\tk:v\\tk:v...`` — fixed
-    regex for the header + str_to_map for the trailing KV section.
+    Pipeline (every stage its own projection — multi-referenced heavy
+    expressions must be materialized as columns or Catalyst's
+    substitution re-inlines the char fold exponentially):
+
+    * ``_ap_t``  — time legs (:func:`apsara_time_struct`);
+    * ``_ap_sp`` — FindBaseFields char fold (:func:`_apsara_base_spans`);
+    * classification (cpp:428-455): LEVEL = first all-``[A-Z]`` span
+      after the time field (an EMPTY span matches vacuously), THREAD =
+      first all-digit span not claimed as LEVEL, FILE/LINE = first span
+      containing ``/`` or ``.`` split at its first ``':'`` (LINE absent
+      when none; the classes cannot otherwise collide);
+    * KV region from the last recorded ``']'`` (cpp:205-227): segments
+      split on tab; key = text before the FIRST ``':'`` seen at
+      positions AFTER that ``']'`` — the first segment's key starts at
+      ``beg_index = 0``, so when no base field was found (scan from
+      index 1) or a recorded ``']'`` is followed by ``'\n'``, the key
+      faithfully includes the whole line prefix;
+    * entries fold FIRST-WINS (AddLog, cpp:467-472), in add order:
+      base claims, KV pairs, then ``microtime`` — a KV literally named
+      ``microtime`` beats the synthetic one; a KV key equal to the
+      SOURCE key never lands (the source content still exists while
+      the KV loop runs) but sets sourceKeyOverwritten (cpp:219-221).
+
+    Output: ``fields`` map (``__LEVEL__ __THREAD__ __FILE__ __LINE__``
+    + KV pairs + ``microtime``), ``apsara_sec`` (epoch seconds the
+    event timestamp is set to), ``__parse_ok__``.
+
+    Failure contract (cpp:139-175 + CommonParserOptions):
+
+    * EMPTY source → event untouched (ok=false but the row and its
+      source survive unconditionally — the cpp:131 early return);
+    * time-parse fail → source deleted, raw copy under
+      ``opts.raw_log_key`` when KeepingSourceWhenParseFail, row DROPPED
+      when not keeping it (ShouldEraseEvent: our single-source-column
+      model has no other contents, exactly the unit fixture shape);
+    * success → source deleted unless a KV key overwrote it, raw copy
+      when KeepingSourceWhenParseSucceed.
     """
     opts = options or ParserOptions()
-    out = parse_regex(
-        df,
-        APSARA_PATTERN,
-        ["apsara_time", "level", "tid", "location", "_kvrest"],
-        source=source,
-        options=opts,
+    src = F.col(source)
+    entry_t = "array<struct<key:string,value:string>>"
+
+    def ent(k: Column, v: Column) -> Column:
+        return F.struct(k.alias("key"), v.alias("value"))
+
+    d = df.withColumn(
+        "_ap_t", apsara_time_struct(src, parse_apsara_tz_offset(timezone))
     )
-    out = out.withColumn(
-        "attrs",
-        F.when(
-            F.col(PARSE_OK_KEY) & (F.length(F.trim(F.col("_kvrest"))) > 0),
-            F.str_to_map(F.trim(F.col("_kvrest")), F.lit("\t"), F.lit(":")),
+    d = d.withColumn("_ap_sp", _apsara_base_spans(src))
+    d = d.withColumn(
+        "_ap_conts",
+        F.zip_with(
+            F.col("_ap_sp")["b"],
+            F.col("_ap_sp")["e"],
+            lambda bb, ee: src.substr(bb, ee - bb),
         ),
     )
-    return out.drop("_kvrest")
+    n_sp = F.size(F.col("_ap_sp")["b"])
+    d = d.withColumn(
+        "_ap_idxs",
+        F.when(n_sp >= 2, F.sequence(F.lit(2), n_sp)).otherwise(
+            F.array().cast("array<int>")
+        ),
+    )
+
+    def cont(i: Column) -> Column:
+        return F.get(F.col("_ap_conts"), i - 1)
+
+    idxs = F.col("_ap_idxs")
+    d = d.withColumn(
+        "_ap_lvl", F.get(F.filter(idxs, lambda i: cont(i).rlike("^[A-Z]*$")), 0)
+    )
+    d = d.withColumn(
+        "_ap_thr",
+        F.get(
+            F.filter(
+                idxs,
+                lambda i: cont(i).rlike("^[0-9]*$")
+                & (F.col("_ap_lvl").isNull() | (i != F.col("_ap_lvl"))),
+            ),
+            0,
+        ),
+    )
+    d = d.withColumn(
+        "_ap_fil",
+        F.get(
+            F.filter(idxs, lambda i: cont(i).contains("/") | cont(i).contains(".")),
+            0,
+        ),
+    )
+
+    def base_for(i: Column) -> Column:
+        c = cont(i)
+        colon = F.instr(c, ":")
+        file_arr = F.when(
+            colon > 0,
+            F.array(
+                ent(F.lit(APSARA_FILE_KEY), F.substring(c, 1, colon - 1)),
+                ent(F.lit(APSARA_LINE_KEY), F.substring(c, colon + 1, F.length(c))),
+            ),
+        ).otherwise(F.array(ent(F.lit(APSARA_FILE_KEY), c)))
+        return (
+            F.when(
+                F.coalesce(i == F.col("_ap_lvl"), F.lit(False)),
+                F.array(ent(F.lit(APSARA_LEVEL_KEY), c)),
+            )
+            .when(
+                F.coalesce(i == F.col("_ap_thr"), F.lit(False)),
+                F.array(ent(F.lit(APSARA_THREAD_KEY), c)),
+            )
+            .when(F.coalesce(i == F.col("_ap_fil"), F.lit(False)), file_arr)
+            .otherwise(F.array().cast(entry_t))
+        )
+
+    d = d.withColumn("_ap_base", F.flatten(F.transform(idxs, base_for)))
+
+    # KV region: r = 1-based pos of the last recorded ']'; the C++
+    # returns index 0 when no base field was found (scan resumes at 1)
+    d = d.withColumn(
+        "_ap_r",
+        F.when(n_sp > 0, F.element_at(F.col("_ap_sp")["e"], -1)).otherwise(F.lit(1)),
+    )
+    d = d.withColumn(
+        "_ap_segs",
+        F.split(src.substr(F.col("_ap_r") + 1, F.length(src)), "\t", -1),
+    )
+
+    def kv_for(seg: Column, j: Column) -> Column:
+        p = F.instr(seg, ":")
+        base_prefix = src.substr(F.lit(1), F.col("_ap_r"))
+        key = F.when(
+            j == 0, F.concat(base_prefix, F.substring(seg, 1, p - 1))
+        ).otherwise(F.substring(seg, 1, p - 1))
+        val = F.substring(seg, p + 1, F.length(seg))
+        return F.when(p > 0, F.array(ent(key, val))).otherwise(
+            F.array().cast(entry_t)
+        )
+
+    d = d.withColumn(
+        "_ap_kv",
+        F.flatten(
+            F.zip_with(
+                F.col("_ap_segs"),
+                F.sequence(F.lit(0), F.size(F.col("_ap_segs")) - 1),
+                kv_for,
+            )
+        ),
+    )
+
+    from ilogtail_spark.common import map_last_wins
+
+    t = F.col("_ap_t")
+    ok = F.coalesce(t["ok"], F.lit(False))
+    entries = F.concat(
+        F.col("_ap_base"),
+        F.col("_ap_kv"),
+        F.array(ent(F.lit("microtime"), t["micro"].cast("string"))),
+    )
+    # AddLog is FIRST-wins — reverse before the last-wins fold; the
+    # source-key entry is excluded (see docstring)
+    d = d.withColumn(
+        fields_col,
+        F.when(
+            ok,
+            map_last_wins(
+                F.reverse(
+                    F.filter(entries, lambda en: en["key"] != F.lit(source))
+                )
+            ),
+        ),
+    )
+    overwritten = F.coalesce(
+        F.exists(F.col("_ap_kv"), lambda en: en["key"] == F.lit(source)),
+        F.lit(False),
+    )
+    empty = src.isNull() | (F.length(src) == 0)
+    out = (
+        d.withColumn("_ap_empty", empty)
+        .withColumn("apsara_sec", t["sec"])
+        .withColumn(PARSE_OK_KEY, ok)
+        .withColumn(
+            opts.raw_log_key,
+            F.when(~empty & ok & F.lit(opts.keep_source), src).when(
+                ~empty & ~ok & F.lit(opts.keep_source_if_fail), src
+            ),
+        )
+        .withColumn(
+            source,
+            F.when(empty, src).when(ok & overwritten, src),
+        )
+    )
+    if not opts.keep_source_if_fail or opts.discard_unmatch:
+        # ShouldEraseEvent: failed + not keeping source + nothing else
+        # in the event → drop (empty-source rows never enter this path;
+        # the flag column was materialized BEFORE the source rewrite)
+        out = out.filter(F.col("_ap_empty") | F.col(PARSE_OK_KEY))
+    return out.drop(
+        "_ap_t", "_ap_sp", "_ap_conts", "_ap_idxs", "_ap_lvl", "_ap_thr",
+        "_ap_fil", "_ap_base", "_ap_r", "_ap_segs", "_ap_kv", "_ap_empty",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1396,7 +1746,8 @@ def _ts_factory(**cfg):
 def _apsara_factory(**cfg):
     opts = _opts_from_config(cfg)
     source = cfg_pop(cfg, "SourceKey", "source", default="text")
-    return lambda df: parse_apsara(df, source=source, options=opts)
+    tz = cfg_pop(cfg, "Timezone", "timezone", default=None)
+    return lambda df: parse_apsara(df, source=source, options=opts, timezone=tz)
 
 
 @register("processor_parse_dissect")

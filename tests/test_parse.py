@@ -515,3 +515,171 @@ def test_container_log_ignoring_streams(spark):
     out2 = parse_container_log(df, fmt="cri", ignoring_stdout=True,
                                ignoring_stderr=True).collect()
     assert sorted(r["id"] for r in out2) == ["c"]
+
+
+# ---------------------------------------------------------------------------
+# apsara exact semantics — ProcessorParseApsaraNativeUnittest replay
+# ---------------------------------------------------------------------------
+
+_AP_FILE = "build/debug64/ilogtail/core/ilogtail.cpp"
+_AP_TS1 = "2013-03-13 18:05:09.493309"
+_AP_TS2 = "2013-03-13 18:14:57.365716"
+_MT1, _SEC1 = "1363169109493309", 1363169109
+_MT2, _SEC2 = "1363169697365716", 1363169697
+
+# (input line, expected FULL fields map or None=row dropped, expected sec)
+# — ProcessorParseApsaraNativeUnittest::TestApsaraLogLineParser's 31
+# cases (Unittest.cpp:155-430), config Timezone=GMT+08:00,
+# KeepingSourceWhenParseSucceed/Fail=false. The C++ test asserts listed
+# keys only; the maps below are the FULL expected contents (derived
+# from ProcessorParseApsaraNative.cpp semantics), a stronger pin.
+_APSARA_CASES = [
+    (f"[{_AP_TS1}]\t[WARNING]\t[13000]\t[{_AP_FILE}:1753]",
+     {"__LEVEL__": "WARNING", "__THREAD__": "13000", "__FILE__": _AP_FILE,
+      "__LINE__": "1753", "microtime": _MT1}, _SEC1),  # 1
+    (f"[{_AP_TS1}]\t[WARNING]\t[13000]\t[{_AP_FILE}:1753]\t",
+     {"__LEVEL__": "WARNING", "__THREAD__": "13000", "__FILE__": _AP_FILE,
+      "__LINE__": "1753", "microtime": _MT1}, _SEC1),  # 2
+    (f"[{_AP_TS1}]\t[WARNING]\t[13000]\t[{_AP_FILE}:1754]\tsomestring",
+     {"__LEVEL__": "WARNING", "__THREAD__": "13000", "__FILE__": _AP_FILE,
+      "__LINE__": "1754", "microtime": _MT1}, _SEC1),  # 3
+    (f"[{_AP_TS1}]\t[WARNING]\t[13000]\t[{_AP_FILE}:1755]\t"
+     "RealRecycle#Command:rm -rf /apsara/tubo/.fuxi_tubo_trash/*",
+     {"__LEVEL__": "WARNING", "__THREAD__": "13000", "__FILE__": _AP_FILE,
+      "__LINE__": "1755",
+      "RealRecycle#Command": "rm -rf /apsara/tubo/.fuxi_tubo_trash/*",
+      "microtime": _MT1}, _SEC1),  # 4
+    (f"[{_AP_TS2}]\t[ERROR]\t[12835]\t[{_AP_FILE}:1945]\t"
+     'ParseWhiteListOK:{\n"sys/pangu/ChunkServerRole": "",\n'
+     '"sys/pangu/PanguMasterRole": ""}',
+     {"__LEVEL__": "ERROR", "__THREAD__": "12835", "__FILE__": _AP_FILE,
+      "__LINE__": "1945",
+      "ParseWhiteListOK": '{\n"sys/pangu/ChunkServerRole": "",\n'
+                          '"sys/pangu/PanguMasterRole": ""}',
+      "microtime": _MT2}, _SEC2),  # 5
+    (f"[{_AP_TS2}]\t[12835]\t[ERROR]\t[{_AP_FILE}:1945]",
+     {"__THREAD__": "12835", "__LEVEL__": "ERROR", "__FILE__": _AP_FILE,
+      "__LINE__": "1945", "microtime": _MT2}, _SEC2),  # 6
+    (f"[{_AP_TS2}]\t[{_AP_FILE}:1945]\t[12835]\t[ERROR]",
+     {"__FILE__": _AP_FILE, "__LINE__": "1945", "__THREAD__": "12835",
+      "__LEVEL__": "ERROR", "microtime": _MT2}, _SEC2),  # 7
+    (f"[{_AP_TS2}]\t[{_AP_FILE}:1945]\t[ERROR]",
+     {"__FILE__": _AP_FILE, "__LINE__": "1945", "__LEVEL__": "ERROR",
+      "microtime": _MT2}, _SEC2),  # 8
+    (f"[{_AP_TS2}]\t[{_AP_FILE}:1945]\t[12835]\t[ERROR]\t[5432187]",
+     {"__FILE__": _AP_FILE, "__LINE__": "1945", "__THREAD__": "12835",
+      "__LEVEL__": "ERROR", "microtime": _MT2}, _SEC2),  # 9
+    (f"[{_AP_TS2}]\t[{_AP_FILE}:1945]\t[12835]\t[ERROR]\t[5432187]\tcount:55",
+     {"__FILE__": _AP_FILE, "__LINE__": "1945", "__THREAD__": "12835",
+      "__LEVEL__": "ERROR", "count": "55", "microtime": _MT2}, _SEC2),  # 10
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]",
+     {"__LEVEL__": "ERROR", "microtime": _MT2}, _SEC2),  # 11 (trace_id LOST)
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\t",
+     {"__LEVEL__": "ERROR", "microtime": _MT2}, _SEC2),  # 12
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\n",
+     {"__LEVEL__": "ERROR", "microtime": _MT2}, _SEC2),  # 13
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\tother\tcount:45",
+     {"__LEVEL__": "ERROR", "count": "45", "microtime": _MT2}, _SEC2),  # 14
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\tother:\tcount:45",
+     {"__LEVEL__": "ERROR", "other": "", "count": "45",
+      "microtime": _MT2}, _SEC2),  # 15
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\tcount:45",
+     {"__LEVEL__": "ERROR", "count": "45", "microtime": _MT2}, _SEC2),  # 16
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\tcount:45\tnum:88\tjob:ss",
+     {"__LEVEL__": "ERROR", "count": "45", "num": "88", "job": "ss",
+      "microtime": _MT2}, _SEC2),  # 17
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\t[corrupt\tcount:45\tnum:88\tjob:ss",
+     {"__LEVEL__": "ERROR", "count": "45", "num": "88", "job": "ss",
+      "microtime": _MT2}, _SEC2),  # 18
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\t[corruptcount:45\tnum:88\tjob:ss",
+     {"__LEVEL__": "ERROR", "[corruptcount": "45", "num": "88", "job": "ss",
+      "microtime": _MT2}, _SEC2),  # 19
+    (f"[{_AP_TS2}]\t[trace_id:787]\t[ERROR]\t[corrupt]count:45\tnum:88\tjob:ss",
+     {"__LEVEL__": "ERROR", "[corrupt]count": "45", "num": "88", "job": "ss",
+      "microtime": _MT2}, _SEC2),  # 20
+    (f"[{_AP_TS2}]\t[build/debug64]\t[ERROR]\tcount:45\tnum:88\tjob:ss",
+     {"__FILE__": "build/debug64", "__LEVEL__": "ERROR", "count": "45",
+      "num": "88", "job": "ss", "microtime": _MT2}, _SEC2),  # 21
+    (f"[{_AP_TS2}]\t[build/debug64:]\t[ERROR]\tcount:45\tnum:88\tjob:ss",
+     {"__FILE__": "build/debug64", "__LINE__": "", "__LEVEL__": "ERROR",
+      "count": "45", "num": "88", "job": "ss", "microtime": _MT2}, _SEC2),  # 22
+    (f"[{_AP_TS2}]\t[build/debug64:]\t[ERROR]\tcount:45\t:88\tjob:ss",
+     {"__FILE__": "build/debug64", "__LINE__": "", "__LEVEL__": "ERROR",
+      "count": "45", "": "88", "job": "ss", "microtime": _MT2}, _SEC2),  # 23
+    (f"[{_AP_TS2}]", {"microtime": _MT2}, _SEC2),  # 24
+    (f"[{_AP_TS2}]\t", {"microtime": _MT2}, _SEC2),  # 25
+    (f"[{_AP_TS2}]\n", {"microtime": _MT2}, _SEC2),  # 26
+    (f"[{_AP_TS2}]\t\t\t", {"microtime": _MT2}, _SEC2),  # 27
+    ("", {}, None),  # 28 — empty: kept untouched, no parse attempted
+    (f"[{_AP_TS1}]\t[WARNING]\t[13000]\t[13003]\t[ERROR]\t[{_AP_FILE}:1753]",
+     {"__LEVEL__": "WARNING", "__THREAD__": "13000", "__FILE__": _AP_FILE,
+      "__LINE__": "1753", "microtime": _MT1}, _SEC1),  # 29
+    (f"[{_AP_TS1}]\t[WARNING]\t[13000]\t[13003]\t[ERROR]\t[tubo.cpp:1753]",
+     {"__LEVEL__": "WARNING", "__THREAD__": "13000", "__FILE__": "tubo.cpp",
+      "__LINE__": "1753", "microtime": _MT1}, _SEC1),  # 30
+    (f"[{_AP_TS1[:-1]}", None, None),  # 31 — no ']': dropped
+]
+
+
+def test_apsara_unit_table(spark):
+    """TestApsaraLogLineParser (ProcessorParseApsaraNativeUnittest.cpp:
+    155-430) — all 31 cases, full-map equality."""
+    from ilogtail_spark.operators.parse import parse_apsara
+
+    df = spark.createDataFrame(
+        [(i + 1, line) for i, (line, _, _) in enumerate(_APSARA_CASES)],
+        "idx int, content string",
+    )
+    opts = ParserOptions(keep_source=False, keep_source_if_fail=False)
+    out = parse_apsara(
+        df, source="content", options=opts, timezone="GMT+08:00"
+    )
+    rows = {r["idx"]: r for r in out.collect()}
+    for i, (line, want, want_sec) in enumerate(_APSARA_CASES, start=1):
+        if want is None:
+            assert i not in rows, f"case {i}: should be dropped"
+            continue
+        assert i in rows, f"case {i}: row missing"
+        r = rows[i]
+        if line == "":  # case 28: untouched, source survives
+            assert r["fields"] is None and r["content"] == ""
+            assert r[PARSE_OK_KEY] is False
+            continue
+        assert r["fields"] == want, f"case {i}: {r['fields']} != {want}"
+        assert r["apsara_sec"] == want_sec, f"case {i}: sec"
+        assert r[PARSE_OK_KEY] is True
+        # KeepingSourceWhenParseSucceed=false and never overwritten
+        assert r["content"] is None and r[RAW_LOG_KEY] is None
+
+
+def test_apsara_epoch_leg_and_source_overwrite(spark):
+    """The %s epoch leg (Strptime.cpp:83-112: first 10 digits =
+    seconds, digits 11+ = fraction, the run must end at ']') plus
+    sourceKeyOverwritten + AddLog first-wins."""
+    from ilogtail_spark.operators.parse import parse_apsara
+
+    line = "[1378882630]\t[INFO]\tcontent:dup\tmicrotime:0\tcount:1\tcount:2"
+    cases = [
+        (1, line),
+        (2, "[1378882630123]\t[INFO]"),        # epoch millis: fraction folds in
+        (3, "[1378882630.123]\t[INFO]"),       # strtoll stops at '.': FAIL
+        (4, "[1378882630"),                    # no ']': FAIL
+        (5, "[2013-03-13 18:05:09]\tcount:7"), # no fraction, no tz config
+    ]
+    df = spark.createDataFrame(cases, "idx int, content string")
+    opts = ParserOptions(keep_source=False, keep_source_if_fail=False)
+    out = parse_apsara(df, source="content", options=opts)
+    rows = {r["idx"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 5}
+    # first-wins: KV microtime:0 beats the synthetic; count:1 beats 2;
+    # KV 'content' never lands in the map but keeps the source column
+    assert rows[1]["fields"] == {
+        "__LEVEL__": "INFO", "microtime": "0", "count": "1"
+    }
+    assert rows[1]["content"] == line and rows[1]["apsara_sec"] == 1378882630
+    assert rows[2]["fields"] == {
+        "__LEVEL__": "INFO", "microtime": "1378882630123000"
+    }
+    assert rows[2]["apsara_sec"] == 1378882630
+    # datetime leg without Timezone: naive == UTC under pinned session
+    assert rows[5]["fields"] == {"count": "7", "microtime": "1363197909000000"}
