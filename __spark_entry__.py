@@ -2446,6 +2446,110 @@ def _q_statsd_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_strptime_native(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_parse_timestamp_native — the exact NetBSD-strptime
+    engine (core/common/Strptime.cpp:83-533, TimeUtil.cpp:112-160;
+    operators/strptime_native.py). Five input shapes per turn_idx%5:
+    unpadded flexible-width wall clock + 6-digit %f + GMT+08:00 zone
+    subtraction, '%d %b %y %H:%M' with trailing-junk zone name,
+    13-digit epoch-millis under %s (first-10-digit second + fraction
+    fold-in), 12-hour %I/%p, and a parse failure (row kept, NULL
+    time). Oracle is the closed-form mktime arithmetic on the same
+    event timestamps."""
+    from ilogtail_spark.operators.strptime_native import parse_timestamp_native
+
+    t = derive_transcripts(spark, sf)
+    ts = F.col("ts").cast("timestamp")
+    v = (F.col("turn_idx") % 5).alias("_v")
+    micro = F.unix_micros(ts) % 1000000
+    ms = F.unix_millis(ts)
+    wall = F.concat(
+        F.year(ts).cast("string"), F.lit("-"),
+        F.month(ts).cast("string"), F.lit("-"),
+        F.dayofmonth(ts).cast("string"), F.lit(" "),
+        F.hour(ts).cast("string"), F.lit(":"),
+        F.minute(ts).cast("string"), F.lit(":"),
+        F.second(ts).cast("string"),
+    )
+    line = (
+        F.when(v == 0,
+               F.concat(wall, F.lit("."),
+                        F.lpad(micro.cast("string"), 6, "0")))
+        .when(v == 1,
+              F.concat(F.date_format(ts, "d MMM yy H:mm"), F.lit(" MST")))
+        .when(v == 2, ms.cast("string"))
+        .when(v == 3, F.date_format(ts, "yyyy-MM-dd h:mm:ss a"))
+        .otherwise(F.concat(F.lit("bad "), F.col("conv_id")))
+    )
+    base = t.select("conv_id", "turn_idx", v, line.alias("line"))
+    plans = [
+        (0, "%Y-%m-%d %H:%M:%S.%f", "GMT+08:00"),
+        (1, "%d %b %y %H:%M", None),
+        (2, "%s", None),
+        (3, "%Y-%m-%d %I:%M:%S %p", None),
+        (4, "%Y-%m-%d %H:%M:%S.%f", "GMT+08:00"),
+    ]
+    parts = [
+        parse_timestamp_native(
+            base.filter(F.col("_v") == i), "line", fmt,
+            source_timezone=tz, discard_old=False,
+        ).select("conv_id", "turn_idx", "log_sec", "log_nsec")
+        for i, fmt, tz in plans
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_desensitize_native(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_desensitize_native — the C++ dialect
+    (ProcessorDesensitizeNative.cpp:146-159,202-249): ReplacingAll
+    default TRUE, first-only = RE2::Replace (one split-carve pass),
+    md5 hex UPPERCASE (CalcMD5). Each row synthesizes a line with TWO
+    `pwd=<secret>,` regions and runs one of the four method×mode
+    combos by turn_idx%4; the oracle reconstructs the masked line in
+    closed form from the same parts."""
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    t = derive_transcripts(spark, sf)
+    s1 = F.concat(F.substring("conv_id", 1, 7), F.lit("#$@"))
+    s2 = F.concat(F.col("turn_idx").cast("string"), F.lit("f"))
+    line = F.concat(
+        F.lit("u="), F.col("conv_id"), F.lit(" pwd="), s1,
+        F.lit(",k,pwd="), s2, F.lit(",end"),
+    )
+    base = t.select(
+        "conv_id", "turn_idx",
+        (F.col("turn_idx") % 4).alias("_v"), line.alias("line"),
+    )
+    combos = [
+        (0, "const", False),
+        (1, "const", True),
+        (2, "md5", False),
+        (3, "md5", True),
+    ]
+    parts = []
+    for v, method, rall in combos:
+        fn = OPERATORS["processor_desensitize_native"](
+            SourceKey="line",
+            Method=method,
+            ReplacingString="********",
+            ContentPatternBeforeReplacedString="pwd=",
+            ReplacedContentPattern="[^,]+",
+            ReplacingAll=rall,
+        )
+        parts.append(
+            fn(base.filter(F.col("_v") == v)).select(
+                "conv_id", "turn_idx", F.col("line").alias("masked")
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     """flusher_prometheus remote-write encode∘decode roundtrip
     (pkg/protocol/encoder/prometheus/utils.go:44-86;
@@ -2546,9 +2650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
     # Round-5 rotation (VERDICT r4 item 2): q70/q71 lead to witness the
     # oracle HUGEINT-cast fix, then q08–q50 (last driver rows r03), then
-    # q01–q05 to fill the snapshot. q51–q93 (all driver-green in r04)
-    # rotate to the tail. With this, every query has a green driver row
-    # in r04 ∪ r05. See BASELINE.md "Correctness artifact".
+    # the round-5-new q94–q97 (no prior row exists), then q01 to
+    # fill the snapshot. q02–q93 (all driver-green in r04) rotate to
+    # the tail. With this, every query has a green driver row in
+    # r04 ∪ r05. See BASELINE.md "Correctness artifact".
     head = {
         "q70_sequence_packing": _q_sequence_packing,
         "q71_curation_pipeline": _q_curation_pipeline,
@@ -2595,13 +2700,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_transform_chain": _q_transform_chain,
         "q49_dedup_clusters": _q_dedup_clusters,
         "q50_ann_ivf": _q_ann_ivf,
+        "q94_influx_decode": _q_influx_decode,
+        "q95_statsd_decode": _q_statsd_decode,
+        "q96_strptime_native": _q_strptime_native,
+        "q97_desensitize_native": _q_desensitize_native,
         "q01_transcripts": _q_transcripts,
+    }
+    tail = {
         "q02_parse_regex": _q_parse,
         "q03_parse_fail_by_role": _q_parse_fail_by_role,
         "q04_enrich_dictmap": _q_enrich,
         "q05_route_counts": _q_route_counts,
-    }
-    tail = {
         "q06_routed_errors": _q_routed_errors,
         "q07_sink_aggregates": _q_sink_aggregates,
         "q51_asof_join": _q_asof_join,
@@ -2645,8 +2754,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_prom_remote_write": _q_prom_remote_write,
         "q92_duplicated_spans": _q_duplicated_spans,
         "q93_context_pack": _q_context_pack,
-        "q94_influx_decode": _q_influx_decode,
-        "q95_statsd_decode": _q_statsd_decode,
     }
     return {**head, **tail}
 
@@ -3067,6 +3174,55 @@ def oracle_sql() -> dict[str, str]:
                   '1700000000000000000' AS time_nano,
                   CAST(event_id % 100 AS VARCHAR) || '.5' AS value
            FROM events WHERE event_id % 7 <> 0""",
+        # q96: the strptime-native engine's outputs are closed-form
+        # mktime arithmetic on the same event timestamps (variant by
+        # turn_idx%5; v4 is the kept-but-unparsed row). ts is parsed
+        # from a naive wall clock under the pinned-UTC session, so
+        # floor(epoch(ts)) IS the mktime value; GMT+08:00 subtracts
+        # 28800 on v0; %s folds epoch-millis digits 11-13 into nsec.
+        "q96_strptime_native": TRANSCRIPTS_CTE
+        + """
+           , b AS (
+              SELECT conv_id, turn_idx,
+                     turn_idx % 5 AS v,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     epoch_ms(ts) AS ms,
+                     epoch_us(ts) % 1000000 AS us
+              FROM transcripts)
+           SELECT conv_id, turn_idx,
+                  CASE v WHEN 0 THEN ep - 28800
+                         WHEN 1 THEN ep - (ep % 60)
+                         WHEN 2 THEN CAST(ms // 1000 AS BIGINT)
+                         WHEN 3 THEN ep
+                         ELSE NULL END AS log_sec,
+                  CASE v WHEN 0 THEN us * 1000
+                         WHEN 1 THEN 0
+                         WHEN 2 THEN CAST((ms % 1000) * 1000000 AS BIGINT)
+                         WHEN 3 THEN 0
+                         ELSE NULL END AS log_nsec
+           FROM b""",
+        # q97: the masked line reconstructed in closed form from the
+        # same synthesized parts — region 1 (secret s1) masks on every
+        # variant except that md5 first-only/all hash it uppercase;
+        # region 2 (s2) survives on the first-only variants (v0/v2).
+        "q97_desensitize_native": TRANSCRIPTS_CTE
+        + """
+           , b AS (
+              SELECT conv_id, turn_idx, turn_idx % 4 AS v,
+                     substr(conv_id, 1, 7) || '#$@' AS s1,
+                     CAST(turn_idx AS VARCHAR) || 'f' AS s2
+              FROM transcripts)
+           SELECT conv_id, turn_idx,
+                  'u=' || conv_id || ' pwd=' ||
+                  CASE WHEN v <= 1 THEN '********'
+                       ELSE upper(md5(s1)) END ||
+                  ',k,pwd=' ||
+                  CASE WHEN v = 0 THEN s2
+                       WHEN v = 1 THEN '********'
+                       WHEN v = 2 THEN s2
+                       ELSE upper(md5(s2)) END ||
+                  ',end' AS masked
+           FROM b""",
         # q92: duplicated spans — same gram index + interval-union
         # (the fold becomes a running-max window), exact integers;
         # oracle positions are 1-based vs Spark's 0-based posexplode,

@@ -1683,7 +1683,6 @@ def _kv_factory(**cfg):
     )
 
 
-@register("processor_parse_timestamp_native")
 @register("processor_strptime")
 def _ts_factory(**cfg):
     source = cfg_pop(cfg, "SourceKey", "source")
@@ -1740,6 +1739,32 @@ def _ts_factory(**cfg):
         return out
 
     return run
+
+
+@register("processor_parse_timestamp_native")
+def _ts_native_factory(**cfg):
+    """The C++ native timestamp processor — exact NetBSD-strptime
+    semantics (flexible widths, trailing junk, %f nanoseconds, %s
+    first-10-digit epoch), NOT the Go plugin's JDK-convertible dialect.
+    See operators/strptime_native.py."""
+    from ilogtail_spark.operators.strptime_native import (
+        DISCARD_INTERVAL_SEC,
+        parse_timestamp_native,
+    )
+
+    source = cfg_pop(cfg, "SourceKey", "source")
+    fmt = cfg_pop(cfg, "SourceFormat", "Format", "fmt")
+    tz = cfg_pop(cfg, "SourceTimezone", "source_tz", default=None)
+    year = int(cfg_pop(cfg, "SourceYear", default=-1))
+    discard_old = bool(cfg_pop(cfg, "discard_old", default=True))
+    interval = int(cfg_pop(cfg, "discard_interval",
+                           default=DISCARD_INTERVAL_SEC))
+    now = cfg_pop(cfg, "now", default=None)
+    return lambda df: parse_timestamp_native(
+        df, source=source, fmt=fmt, source_timezone=tz, source_year=year,
+        now=F.lit(now).cast("timestamp") if now is not None else None,
+        discard_old=discard_old, discard_interval=interval,
+    )
 
 
 @register("processor_parse_apsara_native")

@@ -235,6 +235,8 @@ def desensitize(
     replacement: str = "********",
     regex_begin: str | None = None,
     regex_content: str | None = None,
+    replace_all: bool = True,
+    md5_upper: bool = False,
 ) -> DataFrame:
     """processor_desensitize (+native)
     (processor_desensitize.go:146-184, ProcessorDesensitizeNative.cpp:146-159).
@@ -245,10 +247,19 @@ def desensitize(
     MATCHED CONTENT (the reference hashes each match,
     processor_desensitize.go:173-177).
 
+    Dialects: the Go plugin always replaces every region and emits
+    lowercase md5 (``%x``, processor_desensitize.go:173-177) — the
+    defaults. The C++ native adds ReplacingAll=false (FIRST occurrence
+    only, RE2::Replace vs GlobalReplace,
+    ProcessorDesensitizeNative.cpp:202-207) and hashes with UPPERCASE
+    hex (CalcMD5; ProcessorDesensitizeNativeUnittest.cpp goldens) —
+    ``replace_all=False`` / ``md5_upper=True``.
+
     md5+region plan: regexp_extract_all pulls every (begin, content)
     pair, split carves the non-matching segments, and one
     flatten/transform rebuilds begin+md5(content) interleaved with the
-    segments — all JVM expressions, no UDF.
+    segments — all JVM expressions, no UDF. First-only mode carves at
+    the first match with one split(limit=2) — also pure codegen.
     """
     src = F.col(source)
     if regex_begin and regex_content:
@@ -257,8 +268,31 @@ def desensitize(
         pat = f"({regex_begin})({regex_content})"
         # user regexes may carry their own capture groups — locate ours
         content_group = 2 + _re.compile(regex_begin).groups
-        if method == "const":
+
+        def _md5(c):
+            return F.upper(F.md5(c)) if md5_upper else F.md5(c)
+
+        if method == "const" and replace_all:
             col = F.regexp_replace(src, pat, f"$1{replacement}")
+        elif not replace_all:
+            # first occurrence only: split(limit=2) carves [before,
+            # after] around the first match; rebuild with the begin
+            # part kept and the content part masked/hashed
+            segs = F.split(src, pat, 2)
+            masked = (
+                F.lit(replacement)
+                if method == "const"
+                else _md5(F.regexp_extract(src, pat, content_group))
+            )
+            col = F.when(
+                F.size(segs) == 2,
+                F.concat(
+                    F.get(segs, 0),
+                    F.regexp_extract(src, pat, 1),
+                    masked,
+                    F.get(segs, 1),
+                ),
+            ).otherwise(src)
         else:
             begins = F.regexp_extract_all(src, F.lit(pat), F.lit(1))
             contents = F.regexp_extract_all(src, F.lit(pat), F.lit(content_group))
@@ -269,14 +303,14 @@ def desensitize(
                     F.transform(
                         begins,
                         lambda b, i: F.array(
-                            b, F.md5(F.get(contents, i)), F.get(segments, i + 1)
+                            b, _md5(F.get(contents, i)), F.get(segments, i + 1)
                         ),
                     )
                 ),
             )
             col = F.array_join(parts, "")
     elif method == "md5":
-        col = F.md5(src)
+        col = F.upper(F.md5(src)) if md5_upper else F.md5(src)
     else:
         col = F.lit(replacement)
     return df.withColumn(source, col)
@@ -844,6 +878,27 @@ def _desens_factory(**cfg):
         replacement=cfg_pop(cfg, "ReplaceString", "replacement", default="********"),
         regex_begin=begin,
         regex_content=content,
+    )
+
+
+@register("processor_desensitize_native")
+def _desens_native_factory(**cfg):
+    """The C++ native desensitizer (ProcessorDesensitizeNative.cpp:28-136):
+    always region-based (ContentPatternBeforeReplacedString +
+    ReplacedContentPattern are mandatory), ReplacingAll defaults TRUE
+    (ProcessorDesensitizeNative.h:48 — the unittest helper passes
+    false explicitly), md5 hex is UPPERCASE (CalcMD5)."""
+    return lambda df: desensitize(
+        df,
+        cfg_pop(cfg, "SourceKey", "source", default="content"),
+        method=cfg_pop(cfg, "Method", "method", default="const"),
+        replacement=cfg_pop(
+            cfg, "ReplacingString", "replacement", default="********"
+        ),
+        regex_begin=cfg_pop(cfg, "ContentPatternBeforeReplacedString", "regex_begin"),
+        regex_content=cfg_pop(cfg, "ReplacedContentPattern", "regex_content"),
+        replace_all=bool(cfg_pop(cfg, "ReplacingAll", "replace_all", default=True)),
+        md5_upper=True,
     )
 
 

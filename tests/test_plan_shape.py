@@ -258,3 +258,16 @@ def test_repetition_stats_is_narrow(spark):
     plan = _plan(out)
     assert "Exchange" not in plan
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_strptime_native_plan_stays_small(spark, sf_dir):
+    """q96 regression guard: parse_timestamp_native drops rows via a
+    Generate (explode) barrier, NOT a Filter — PushDownPredicates had
+    substituted the staged regex/assembly tree through every projection
+    into a 3.2 MB predicate (26 s at sf0.01 for a 5-variant union)."""
+    import __spark_entry__ as e
+
+    df = e.queries()["q96_strptime_native"](spark, sf_dir)
+    plan = _plan(df)
+    assert len(plan) < 200_000, f"plan blew up to {len(plan)} chars"
+    assert "Generate explode" in plan, plan[:2000]
