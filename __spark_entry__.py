@@ -2550,6 +2550,31 @@ def _q_desensitize_native(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def _q_filter_native(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_filter_regex_native EXACT dialect
+    (ProcessorFilterNative.cpp:251-285): ConditionExp tree with FULL
+    regex matches (boost::regex_match ≙ \\A(?:..)\\z anchoring ≙
+    DuckDB regexp_full_match), strict binary and/or arity, missing/
+    NULL key = false (so NOT over a NULL leaf keeps the row)."""
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    leaf = lambda k, e: {"key": k, "exp": e, "type": "regex"}
+    fn = OPERATORS["processor_filter_regex_native"](
+        ConditionExp={
+            "operator": "and",
+            "operands": [
+                {"operator": "or",
+                 "operands": [leaf("role", "user|assistant"),
+                              leaf("tool", "bash.*")]},
+                {"operator": "not",
+                 "operands": [leaf("text", r"[A-Z ]*")]},
+            ],
+        }
+    )
+    out = fn(derive_transcripts(spark, sf))
+    return out.groupBy("role", "tool").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
 def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     """flusher_prometheus remote-write encode∘decode roundtrip
     (pkg/protocol/encoder/prometheus/utils.go:44-86;
@@ -2650,8 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
     # Round-5 rotation (VERDICT r4 item 2): q70/q71 lead to witness the
     # oracle HUGEINT-cast fix, then q08–q50 (last driver rows r03), then
-    # the round-5-new q94–q97 (no prior row exists), then q01 to
-    # fill the snapshot. q02–q93 (all driver-green in r04) rotate to
+    # the round-5-new q94–q98 (no prior row exists). q01–q93 (all driver-green in r04) rotate to
     # the tail. With this, every query has a green driver row in
     # r04 ∪ r05. See BASELINE.md "Correctness artifact".
     head = {
@@ -2704,9 +2728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_statsd_decode": _q_statsd_decode,
         "q96_strptime_native": _q_strptime_native,
         "q97_desensitize_native": _q_desensitize_native,
-        "q01_transcripts": _q_transcripts,
+        "q98_filter_native": _q_filter_native,
     }
     tail = {
+        "q01_transcripts": _q_transcripts,
         "q02_parse_regex": _q_parse,
         "q03_parse_fail_by_role": _q_parse_fail_by_role,
         "q04_enrich_dictmap": _q_enrich,
@@ -3223,6 +3248,17 @@ def oracle_sql() -> dict[str, str]:
                        ELSE upper(md5(s2)) END ||
                   ',end' AS masked
            FROM b""",
+        # q98: full-match leaves == regexp_full_match; NULL leaves
+        # coalesce to false so NOT over them keeps the row, exactly
+        # the missing-key contract
+        "q98_filter_native": TRANSCRIPTS_CTE
+        + r"""
+           SELECT role, tool, count(*) AS n_rows
+           FROM transcripts
+           WHERE (coalesce(regexp_full_match(role, 'user|assistant'), false)
+                  OR coalesce(regexp_full_match(tool, 'bash.*'), false))
+             AND NOT coalesce(regexp_full_match(text, '[A-Z ]*'), false)
+           GROUP BY role, tool""",
         # q92: duplicated spans — same gram index + interval-union
         # (the fold becomes a running-max window), exact integers;
         # oracle positions are 1-based vs Spark's 0-based posexplode,

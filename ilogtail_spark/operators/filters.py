@@ -44,10 +44,13 @@ def filter_regex(
 
 
 def filter_expression(df: DataFrame, expr: dict | str) -> Column | DataFrame:
-    """processor_filter_regex_native expression-tree mode
-    (ProcessorFilterNative.h:28-121): nested
+    """Convenience boolean-tree filter: nested
     {"and": [...]} / {"or": [...]} / {"not": {...}} / {"key": k, "regex": r}
-    dicts compile directly to a Catalyst predicate.
+    dicts compile directly to a Catalyst predicate. Leaves are PARTIAL
+    matches (Go ``MatchString`` convention, like processor_filter_regex);
+    the EXACT native dialect — full ``boost::regex_match``, binary
+    and/or, the reference ConditionExp JSON shape — is
+    :func:`filter_native` below.
     """
 
     def build(node: dict) -> Column:
@@ -68,6 +71,145 @@ def filter_expression(df: DataFrame, expr: dict | str) -> Column | DataFrame:
     if isinstance(expr, str):
         return df.filter(expr)
     return df.filter(build(expr))
+
+
+def compile_condition_exp(node) -> tuple:
+    """Validate + normalize the native ConditionExp JSON
+    (ProcessorFilterNative.cpp:378-423 ParseExpressionFromJSON).
+
+    Grammar: ``{"operator": "and"|"or"|"not", "operands": [...]}`` with
+    EXACTLY 2 operands for and/or and EXACTLY 1 for not; leaves are
+    ``{"key": k, "exp": regex, "type": "regex"}`` (type compared
+    case-insensitively; key/exp/type all required — a leaf missing
+    ``exp`` or a node with operands but no operator fails Init, the
+    TestBaseFilter validation cases). When both operator+operands and
+    key/exp/type appear, the operator branch wins. Raises ValueError on
+    an invalid tree (≙ Init returning false)."""
+    import re as _re
+
+    if not isinstance(node, dict):
+        raise ValueError("ConditionExp node must be an object")
+    op = node.get("operator")
+    operands = node.get("operands")
+    if isinstance(op, str) and isinstance(operands, list):
+        o = op.lower()
+        if o == "not" and len(operands) == 1:
+            return ("not", compile_condition_exp(operands[0]))
+        if o in ("and", "or") and len(operands) == 2:
+            return (o, compile_condition_exp(operands[0]),
+                    compile_condition_exp(operands[1]))
+        raise ValueError(f"invalid operator/operand-count: {op}")
+    key, exp, typ = node.get("key"), node.get("exp"), node.get("type")
+    if (isinstance(key, str) and isinstance(exp, str)
+            and isinstance(typ, str) and typ.lower() == "regex"):
+        _re.compile(exp)  # IsRegexValid
+        return ("leaf", key, exp)
+    raise ValueError(f"invalid leaf node: {node}")
+
+
+def filter_native(
+    df: DataFrame,
+    condition_exp: dict | None = None,
+    filter_keys: list[str] | None = None,
+    filter_regexes: list[str] | None = None,
+    include: dict[str, str] | None = None,
+    discard_non_utf8: bool = False,
+) -> DataFrame:
+    """processor_filter_regex_native EXACT semantics
+    (ProcessorFilterNative.cpp:30-285).
+
+    Config modes, in the reference's priority order: ConditionExp
+    (expression tree) > FilterKey+FilterRegex parallel lists > Include
+    map (deprecated). Every regex leaf is a FULL match
+    (``boost::regex_match`` — ``.*value1`` REJECTS ``value1xxxxx``,
+    TestLogFilterRule) and a missing/NULL key is false. With no rule
+    configured every row passes. ``discard_non_utf8`` then blank-fills
+    invalid UTF-8 bytes in KEPT rows' binary columns (string columns
+    are JVM-validated UTF-16 already — invalid input bytes can't reach
+    them; see :func:`none_utf8_blank`)."""
+    from ilogtail_spark.common import resolve_key
+
+    def leaf(key: str, exp: str) -> Column:
+        if key in df.columns or "attrs" in df.columns:
+            v = resolve_key(df, key)
+            return v.isNotNull() & v.rlike(f"\\A(?:{exp})\\z")
+        return F.lit(False)
+
+    def build(t: tuple) -> Column:
+        if t[0] == "not":
+            return ~build(t[1])
+        if t[0] in ("and", "or"):
+            left, right = build(t[1]), build(t[2])
+            return (left & right) if t[0] == "and" else (left | right)
+        return leaf(t[1], t[2])
+
+    if condition_exp is not None:
+        pred = build(compile_condition_exp(condition_exp))
+    elif filter_keys:
+        import re as _re
+
+        if len(filter_keys) != len(filter_regexes or []):
+            raise ValueError("FilterKey and FilterRegex sizes differ")
+        for r in filter_regexes:
+            _re.compile(r)
+        pred = F.lit(True)
+        for k, r in zip(filter_keys, filter_regexes):
+            pred = pred & leaf(k, r)
+    elif include:
+        pred = F.lit(True)
+        for k, r in include.items():
+            pred = pred & leaf(k, r)
+    else:
+        pred = F.lit(True)
+    out = df.filter(pred)
+    if discard_non_utf8:
+        for c, t in out.dtypes:
+            if t == "binary":
+                out = out.withColumn(c, none_utf8_blank(F.col(c)))
+    return out
+
+
+# Valid UTF-8 sequences under the reference checker
+# (ProcessorFilterNative::noneUtf8, ProcessorFilterNative.cpp:297-375),
+# as byte classes over a latin-1-decoded string (one char per byte).
+# Derived from the C++ range checks: 2-byte needs scalar>=0x80 (lead
+# >=\xc2); 3-byte needs scalar>=0x800 (\xe0 needs 2nd >=\xa0) with NO
+# surrogate rejection (the <=0xffff check is commented out upstream, so
+# \xed\xa0\x80 is VALID here); 4-byte needs scalar in [0x10000,0x10ffff]
+# (\xf0 needs 2nd >=\x90, \xf4 needs 2nd <=\x8f, \xf5-\xf7 invalid).
+_VALID_UTF8_SEQ = (
+    "[\\x00-\\x7f]"
+    "|[\\xc2-\\xdf][\\x80-\\xbf]"
+    "|\\xe0[\\xa0-\\xbf][\\x80-\\xbf]"
+    "|[\\xe1-\\xef][\\x80-\\xbf]{2}"
+    "|\\xf0[\\x90-\\xbf][\\x80-\\xbf]{2}"
+    "|[\\xf1-\\xf3][\\x80-\\xbf]{3}"
+    "|\\xf4[\\x80-\\x8f][\\x80-\\xbf]{2}"
+)
+
+
+def none_utf8_blank(col: Column) -> Column:
+    """DiscardingNonUTF8 blank-fill over a BINARY column, byte-exact
+    vs the reference walker (ProcessorFilterNative.cpp:297-375): at
+    each position a valid sequence is consumed whole, otherwise ONE
+    byte becomes a space and scanning resumes at the next byte (so a
+    bad continuation leaves the following bytes to be re-judged as
+    leads — an overlong 2-byte blanks BOTH bytes, a 2-byte with an
+    ASCII second byte blanks only the lead).
+
+    Plan: decode as ISO-8859-1 (one char per byte, lossless), ONE
+    regexp_replace of ``((?:valid)*+)[\\s\\S]`` with ``$1 `` — the
+    possessive run can't re-parse a valid lead as junk — then encode
+    back. A known-invalid sentinel byte (\\xff) is appended so every
+    valid run terminates in a match (without it, a long clean tail
+    re-scans from every position — O(n^2)); the sentinel's blank is
+    stripped afterwards. Pure codegen, zero shuffle."""
+    s = F.concat(F.decode(col, "ISO-8859-1"), F.lit("ÿ"))
+    cleaned = F.regexp_replace(
+        s, f"((?:{_VALID_UTF8_SEQ})*+)[\\s\\S]", "$1 "
+    )
+    trimmed = cleaned.substr(F.lit(1), F.length(cleaned) - 1)
+    return F.when(col.isNotNull(), F.encode(trimmed, "ISO-8859-1"))
 
 
 def filter_key_regex(
@@ -121,6 +263,64 @@ def filter_timestamp(
     if end is not None:
         cond = cond & (F.col(ts_col) <= F.lit(end).cast("timestamp"))
     return df.filter(cond)
+
+
+def timestamp_filter_native(
+    df: DataFrame,
+    source_key: str | None = None,
+    precision: str = "second",
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    ts_col: str = "ts",
+    nsec_col: str | None = None,
+) -> DataFrame:
+    """processor_timestamp_filter_native EXACT semantics
+    (ProcessorTimestampFilterNative.cpp:34-258).
+
+    ``source_key`` names a numeric-epoch STRING field interpreted at
+    ``precision`` ∈ {second, millisecond, nanosecond} (an invalid
+    precision warns and falls back to second upstream — pass the
+    resolved value). A missing key or a non-integer value KEEPS the
+    row (ProcessEvent returns true on GetEventTimestamp failure);
+    only a successfully parsed timestamp outside [LowerBound,
+    UpperBound] (inclusive) is discarded. Second precision compares
+    whole seconds; ms/ns compare in nanoseconds with a ms bound
+    scaled ×10⁶. ``LowerBound`` defaults to 0, ``UpperBound`` ≤ 0 or
+    absent means +∞. Without ``source_key`` the event time (``ts_col``
+    + optional ``nsec_col``) is used and is always parseable."""
+    p = (precision or "second").lower()
+    if p not in ("second", "millisecond", "nanosecond"):
+        p = "second"
+    use_ns = p != "second"
+    lo = 0 if lower_bound is None else int(lower_bound)
+    hi = None if upper_bound is None or int(upper_bound) <= 0 else int(upper_bound)
+    if use_ns and p == "millisecond":
+        lo *= 1_000_000
+        hi = None if hi is None else hi * 1_000_000
+
+    if source_key is not None:
+        if source_key not in df.columns:
+            return df  # key missing everywhere: every row keeps
+        raw = F.col(source_key).try_cast("long")
+        parsed = F.col(source_key).isNotNull() & raw.isNotNull()
+        if p == "millisecond":
+            val = raw * F.lit(1_000_000).cast("long")
+        else:  # second compares the raw value; nanosecond is raw ns
+            val = raw
+    else:
+        ts = F.col(ts_col).cast("timestamp")
+        sec = F.when(ts.isNotNull(), F.unix_timestamp(ts))
+        parsed = ts.isNotNull()
+        if use_ns:
+            ns = (F.col(nsec_col).cast("long") if nsec_col and nsec_col in df.columns
+                  else F.lit(0).cast("long"))
+            val = sec * F.lit(1_000_000_000).cast("long") + ns
+        else:
+            val = sec
+    in_range = val >= F.lit(lo)
+    if hi is not None:
+        in_range = in_range & (val <= F.lit(hi))
+    return df.filter(~parsed | in_range)
 
 
 def _fwc_leaf(field: str, op: str, value) -> Column:
@@ -314,8 +514,30 @@ def _filter_regex_factory(**cfg):
 
 @register("processor_filter_regex_native")
 def _filter_tree_factory(**cfg):
-    expr = cfg_pop(cfg, "ConditionExp", "expr")
-    return lambda df: filter_expression(df, expr)
+    """All three native config modes, in Init's priority order
+    (ProcessorFilterNative.cpp:30-157): ConditionExp > FilterKey+
+    FilterRegex > Include (deprecated), plus DiscardingNonUTF8. A
+    ConditionExp in the repo's shorthand shape ({"and": [...]} with
+    "regex" leaves) routes through the partial-match convenience tree
+    for back-compat; the reference's own {"operator","operands"} shape
+    gets the exact full-match engine."""
+    expr = cfg_pop(cfg, "ConditionExp", "expr", default=None)
+    fkeys = cfg_pop(cfg, "FilterKey", default=None)
+    fregs = cfg_pop(cfg, "FilterRegex", default=None)
+    inc = cfg_pop(cfg, "Include", "include", default=None)
+    non_utf8 = cfg_pop(cfg, "DiscardingNonUTF8", default=False)
+    # GetOptionalBoolParam: a non-bool (e.g. the string "true") warns
+    # and keeps the default false (OnSuccessfulInit case 3)
+    non_utf8 = non_utf8 if isinstance(non_utf8, bool) else False
+    if isinstance(expr, dict) and not (
+        isinstance(expr.get("operator"), str)
+        and isinstance(expr.get("operands"), list)
+    ) and ("and" in expr or "or" in expr or "not" in expr or "regex" in expr):
+        return lambda df: filter_expression(df, expr)
+    return lambda df: filter_native(
+        df, condition_exp=expr, filter_keys=fkeys, filter_regexes=fregs,
+        include=inc, discard_non_utf8=non_utf8,
+    )
 
 
 @register("processor_filter_key_regex")
@@ -332,6 +554,21 @@ def _filter_key_factory(**cfg):
 
 @register("processor_timestamp_filter_native")
 def _filter_ts_factory(**cfg):
+    """The native config keys (SourceKey/TimestampPrecision/LowerBound/
+    UpperBound) route to the exact epoch-bounds engine; the legacy
+    begin/end wall-clock form stays for round-1 configs."""
+    if any(k in cfg for k in
+           ("SourceKey", "TimestampPrecision", "LowerBound", "UpperBound")):
+        src = cfg_pop(cfg, "SourceKey", default=None)
+        prec = cfg_pop(cfg, "TimestampPrecision", default="second")
+        lo = cfg_pop(cfg, "LowerBound", default=None)
+        hi = cfg_pop(cfg, "UpperBound", default=None)
+        ts_col = cfg_pop(cfg, "ts_col", default="ts")
+        nsec = cfg_pop(cfg, "nsec_col", default=None)
+        return lambda df: timestamp_filter_native(
+            df, source_key=src, precision=prec, lower_bound=lo,
+            upper_bound=hi, ts_col=ts_col, nsec_col=nsec,
+        )
     return lambda df: filter_timestamp(
         df,
         ts_col=cfg.pop("ts_col", "ts"),

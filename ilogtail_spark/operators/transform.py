@@ -404,10 +404,68 @@ def appender(
     return df
 
 
-def tag_native(df: DataFrame, tags: dict[str, str]) -> DataFrame:
-    """processor_tag_native (ProcessorTagNative.cpp:96-140) — inject
-    host/env lineage tags as constant columns."""
-    return add_fields(df, {f"__tag__{k}": v for k, v in tags.items()})
+def tag_native(
+    df: DataFrame,
+    tags: dict[str, str] | None = None,
+    *,
+    hostname: str | None = None,
+    host_ip: str | None = None,
+    machine_uuid: str | None = None,
+    env_tags: dict[str, str] | None = None,
+    pipeline_meta_tag_key: dict[str, str] | None = None,
+    agent_env_meta_tag_key: dict[str, str] | None = None,
+    file_tags: dict[str, str] | None = None,
+    flushing_through_go_pipeline: bool = False,
+) -> DataFrame:
+    """processor_tag_native EXACT replay
+    (ProcessorTagNative.cpp:46-171, open-source branch) — inject
+    host/env lineage tags as constant ``__tag__``-prefixed columns.
+
+    Key resolution per AddTag + ParseTagKey (ParamExtractor.cpp:241-313):
+    ``PipelineMetaTagKey[field]`` absent or ``"__default__"`` → the
+    default key (``__hostname__`` / ``__host_ip__``,
+    TagConstants.cpp:62,69); a custom string renames; ``""`` deletes
+    the tag. Env tags append ALL with original keys when
+    ``AgentEnvMetaTagKey`` is absent (None); when present, only
+    listed keys are appended, renamed to the mapped value, and an
+    empty mapped value drops them. ``__machine_uuid__`` and
+    ``__source__`` (the host IP) are always stamped unless flushing
+    through the Go pipeline. The legacy ``tags`` dict stays as plain
+    injection (the round-1 convenience form)."""
+    out: dict[str, str] = {}
+    meta = pipeline_meta_tag_key if pipeline_meta_tag_key is not None else {}
+
+    def add(field: str, default_key: str, value: str | None) -> None:
+        key = meta.get(field, "__default__")
+        if key == "__default__":
+            key = default_key
+        if key and value:
+            out[key] = value
+
+    exact = any(
+        v is not None
+        for v in (hostname, host_ip, machine_uuid, env_tags,
+                  pipeline_meta_tag_key, agent_env_meta_tag_key, file_tags)
+    )
+    if exact:
+        add("HOST_NAME", "__hostname__", hostname)
+        add("HOST_IP", "__host_ip__", host_ip)
+        for k, v in (file_tags or {}).items():
+            out[k] = v
+        for k, v in (env_tags or {}).items():
+            if agent_env_meta_tag_key is None:
+                out[k] = v
+            else:
+                nk = agent_env_meta_tag_key.get(k, "")
+                if nk:
+                    out[nk] = v
+        if not flushing_through_go_pipeline:
+            if machine_uuid:
+                out["__machine_uuid__"] = machine_uuid
+            out["__source__"] = host_ip or ""
+    for k, v in (tags or {}).items():
+        out[k] = v
+    return add_fields(df, {f"__tag__{k}": v for k, v in out.items()})
 
 
 def drop_last_key(df: DataFrame, raw_key: str, ok_col: str = "__parse_ok__") -> DataFrame:
@@ -949,7 +1007,24 @@ def _appender_factory(**cfg):
 
 @register("processor_tag_native")
 def _tag_factory(**cfg):
-    return lambda df: tag_native(df, cfg.pop("tags"))
+    """Native config keys (ProcessorTagNative.cpp:46-94) plus the
+    host/env values, which the C++ reads from monitor singletons and
+    here arrive as injectable params (hostname/host_ip/machine_uuid/
+    env_tags/file_tags)."""
+    return lambda df: tag_native(
+        df,
+        cfg_pop(cfg, "tags", default=None),
+        hostname=cfg_pop(cfg, "hostname", default=None),
+        host_ip=cfg_pop(cfg, "host_ip", default=None),
+        machine_uuid=cfg_pop(cfg, "machine_uuid", default=None),
+        env_tags=cfg_pop(cfg, "env_tags", default=None),
+        pipeline_meta_tag_key=cfg_pop(cfg, "PipelineMetaTagKey", default=None),
+        agent_env_meta_tag_key=cfg_pop(cfg, "AgentEnvMetaTagKey", default=None),
+        file_tags=cfg_pop(cfg, "file_tags", default=None),
+        flushing_through_go_pipeline=bool(
+            cfg_pop(cfg, "flushing_through_go_pipeline", default=False)
+        ),
+    )
 
 
 @register("processor_drop_last_key")

@@ -235,3 +235,63 @@ def test_anchor_adjacent_anchors_empty_value(spark):
                                "text string")
     out = [r["v"] for r in anchor(df, "text", "[", "]", "v").collect()]
     assert out == ["", "x", None]
+
+
+def _tag_cols(df):
+    return {
+        c[len("__tag__"):]: df.first()[c]
+        for c in df.columns if c.startswith("__tag__")
+    }
+
+
+def test_tag_native_unittest_replay(spark):
+    """ProcessorTagNativeUnittest::TestProcess (open-source branch),
+    all four cases: default key set, explicit __default__, rename via
+    PipelineMetaTagKey + AgentEnvMetaTagKey, and ""-delete with an
+    empty env allowlist. __source__/__machine_uuid__ always stamp."""
+    from ilogtail_spark.operators.registry import OPERATORS
+
+    base = spark.createDataFrame([(1,)], "id int")
+    host = dict(hostname="host-1", host_ip="10.0.0.9", machine_uuid="uuid-1",
+                env_tags={"test_env_tag_key": "test_env_tag_value"})
+
+    # case 1: PipelineMetaTagKey={} -> defaults
+    out = _tag_cols(OPERATORS["processor_tag_native"](
+        PipelineMetaTagKey={}, **host)(base))
+    assert out["__hostname__"] == "host-1"
+    assert out["__host_ip__"] == "10.0.0.9"
+    assert out["test_env_tag_key"] == "test_env_tag_value"
+    assert out["__source__"] == "10.0.0.9"
+    assert out["__machine_uuid__"] == "uuid-1"
+
+    # case 2: explicit __default__ markers
+    out2 = _tag_cols(OPERATORS["processor_tag_native"](
+        PipelineMetaTagKey={"HOST_NAME": "__default__",
+                            "HOST_IP": "__default__"}, **host)(base))
+    assert out2 == out
+
+    # case 3: rename + env allowlist rename
+    out3 = _tag_cols(OPERATORS["processor_tag_native"](
+        PipelineMetaTagKey={"HOST_NAME": "test_host_name",
+                            "HOST_IP": "test_host_ip"},
+        AgentEnvMetaTagKey={"test_env_tag_key": "test_env_tag_key_2"},
+        **host)(base))
+    assert out3["test_host_name"] == "host-1"
+    assert out3["test_host_ip"] == "10.0.0.9"
+    assert out3["test_env_tag_key_2"] == "test_env_tag_value"
+    assert "test_env_tag_key" not in out3
+    assert "__hostname__" not in out3 and "__host_ip__" not in out3
+    assert "__source__" in out3 and "__machine_uuid__" in out3
+
+    # case 4: "" deletes; empty AgentEnvMetaTagKey drops all env tags
+    out4 = _tag_cols(OPERATORS["processor_tag_native"](
+        PipelineMetaTagKey={"HOST_NAME": "", "HOST_IP": ""},
+        AgentEnvMetaTagKey={}, **host)(base))
+    assert "__hostname__" not in out4 and "__host_ip__" not in out4
+    assert "test_env_tag_key" not in out4
+    assert "__source__" in out4 and "__machine_uuid__" in out4
+
+    # legacy plain-tags form unchanged
+    out5 = _tag_cols(OPERATORS["processor_tag_native"](
+        tags={"env": "prod"})(base))
+    assert out5 == {"env": "prod"}
