@@ -2575,6 +2575,43 @@ def _q_filter_native(spark: SparkSession, sf: str) -> DataFrame:
     return out.groupBy("role", "tool").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def _q_sls_metric_native(spark: SparkSession, sf: str) -> DataFrame:
+    """processor_log_to_sls_metric EXACT converter
+    (processor_log_to_sls_metric.go:172-336): role/tool label fields,
+    a constructed name field, the text length as the float-parseable
+    value string, and a MetricTimeKey that alternates 10-digit
+    seconds / 13-digit millis / an invalid non-digit form (dropped)
+    by turn_idx%3; labels merge an incoming __labels__ pair plus a
+    custom label and sort by key. Oracle reconstructs every output
+    column in closed form."""
+    from ilogtail_spark.operators.transform import log_to_sls_metric_native
+
+    t = derive_transcripts(spark, sf)
+    ts = F.col("ts").cast("timestamp")
+    v = F.col("turn_idx") % 3
+    tk = (
+        F.when(v == 0, F.unix_timestamp(ts).cast("string"))
+        .when(v == 1, F.unix_millis(ts).cast("string"))
+        .otherwise(F.concat(F.lit("x"), F.unix_timestamp(ts).cast("string")))
+    )
+    df = t.select(
+        "role", "tool",
+        F.concat(F.lit("m_"), F.col("tool")).alias("mname"),
+        F.length("text").cast("string").alias("vstr"),
+        tk.alias("tk"),
+        F.lit("zone#$#eu").alias("__labels__"),
+        "conv_id", "turn_idx",
+    )
+    out = log_to_sls_metric_native(
+        df,
+        metric_values={"mname": "vstr"},
+        metric_label_keys=["role", "tool"],
+        custom_metric_labels={"env": "prod"},
+        metric_time_key="tk",
+    )
+    return out
+
+
 def _q_prom_remote_write(spark: SparkSession, sf: str) -> DataFrame:
     """flusher_prometheus remote-write encode∘decode roundtrip
     (pkg/protocol/encoder/prometheus/utils.go:44-86;
@@ -2675,13 +2712,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 50 entries (CORRECTNESS_r02/r03 both stop at exactly 50 dict keys).
     # Round-5 rotation (VERDICT r4 item 2): q70/q71 lead to witness the
     # oracle HUGEINT-cast fix, then q08–q50 (last driver rows r03), then
-    # the round-5-new q94–q98 (no prior row exists). q01–q93 (all driver-green in r04) rotate to
-    # the tail. With this, every query has a green driver row in
-    # r04 ∪ r05. See BASELINE.md "Correctness artifact".
+    # the round-5-new q94–q99 (no prior row exists — never-checked
+    # beats stale-checked, so q08, driver-green in both r02 and r03
+    # and pytest-oracle-green every run, yields its head slot to q99).
+    # q01–q07 + q08 + q51–q93 (all with r04 or r02+r03 driver rows)
+    # rotate to the tail; pytest parity still runs for every query
+    # each round. See BASELINE.md "Correctness artifact".
     head = {
         "q70_sequence_packing": _q_sequence_packing,
         "q71_curation_pipeline": _q_curation_pipeline,
-        "q08_tool_histogram": _q_tool_histogram,
         "q09_salted_agg": _q_salted_agg,
         "q10_topk_convs": _q_topk_convs,
         "q11_spl_chain": _q_spl_chain,
@@ -2729,8 +2768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_strptime_native": _q_strptime_native,
         "q97_desensitize_native": _q_desensitize_native,
         "q98_filter_native": _q_filter_native,
+        "q99_sls_metric_native": _q_sls_metric_native,
     }
     tail = {
+        "q08_tool_histogram": _q_tool_histogram,
         "q01_transcripts": _q_transcripts,
         "q02_parse_regex": _q_parse,
         "q03_parse_fail_by_role": _q_parse_fail_by_role,
@@ -3259,6 +3300,34 @@ def oracle_sql() -> dict[str, str]:
                   OR coalesce(regexp_full_match(tool, 'bash.*'), false))
              AND NOT coalesce(regexp_full_match(text, '[A-Z ]*'), false)
            GROUP BY role, tool""",
+        # q99: every output column reconstructed in closed form —
+        # labels sort env<role<tool<zone; the time key pads to 19
+        # digits; the v=2 (non-digit time) rows and any NULL
+        # label/name/value rows drop exactly like the operator
+        "q99_sls_metric_native": TRANSCRIPTS_CTE
+        + """
+           , b AS (
+              SELECT role, tool,
+                     'm_' || tool AS mname,
+                     CAST(length(text) AS VARCHAR) AS vstr,
+                     turn_idx % 3 AS v,
+                     CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS sec_s,
+                     CAST(epoch_ms(ts) AS VARCHAR) AS ms_s
+              FROM transcripts)
+           SELECT 'env#$#prod|role#$#' || role || '|tool#$#' || tool
+                    || '|zone#$#eu' AS "__labels__",
+                  mname AS "__name__",
+                  vstr AS "__value__",
+                  CASE WHEN v = 0 THEN sec_s || '000000000'
+                       ELSE ms_s || '000000' END AS "__time_nano__"
+           FROM b
+           WHERE v < 2 AND role IS NOT NULL AND tool IS NOT NULL
+             AND vstr IS NOT NULL
+             AND regexp_full_match(mname, '[a-zA-Z_:][a-zA-Z0-9_:]*')
+             AND NOT contains(role, '|') AND NOT contains(role, '#$#')
+             AND NOT contains(tool, '|') AND NOT contains(tool, '#$#')
+             AND ((v = 0 AND length(sec_s) = 10)
+                  OR (v = 1 AND length(ms_s) = 13))""",
         # q92: duplicated spans — same gram index + interval-union
         # (the fold becomes a running-max window), exact integers;
         # oracle positions are 1-based vs Spark's 0-based posexplode,

@@ -617,6 +617,61 @@ def decrypt_fields(
     return df
 
 
+def _aes_hex_params(key_hex: str, iv_hex: str) -> tuple[bytes, bytes]:
+    key = bytes.fromhex(key_hex)
+    if len(key) not in (16, 24, 32):  # aes.NewCipher key-size error
+        raise ValueError(f"invalid AES key length {len(key)}")
+    iv = bytes.fromhex(iv_hex)
+    if len(iv) != 16:  # parseIV: IV must equal the block size
+        raise ValueError(f"IV length {len(iv)} != block size 16")
+    return key, iv
+
+
+def encrypt_fields_native(
+    df: DataFrame, keys: list[str], key_hex: str, iv_hex: str = "0" * 32
+) -> DataFrame:
+    """processor_encrypt EXACT wire format
+    (processor_encrypt.go:92-207): Key and IV are HEX strings (key
+    length picks AES-128/192/256; IV defaults to 16 zero bytes and
+    must match the block size — the random-IV prepend path is disabled
+    upstream), PKCS7 padding (empty input → one full padding block),
+    output is the LOWERCASE hex of the ciphertext ONLY. Spark's
+    aes_encrypt emits iv‖ct for CBC, so the pinned-IV leg strips the
+    32-hex-char prefix — verified byte-identical to
+    ``openssl enc -aes-256-cbc`` in tests. A NULL value stays NULL
+    (the Go loop only touches present contents); a key absent from the
+    schema is skipped."""
+    key, iv = _aes_hex_params(key_hex, iv_hex)
+    for k in keys:
+        if k not in df.columns:
+            continue
+        enc = F.aes_encrypt(
+            F.col(k).cast("binary"), F.lit(key), F.lit("CBC"),
+            F.lit("PKCS"), F.lit(iv),
+        )
+        df = df.withColumn(
+            k, F.lower(F.substring(F.hex(enc), 33, 2 ** 30))
+        )
+    return df
+
+
+def decrypt_fields_native(
+    df: DataFrame, keys: list[str], key_hex: str, iv_hex: str = "0" * 32
+) -> DataFrame:
+    """Inverse of :func:`encrypt_fields_native`: re-prepend the pinned
+    IV to the hex ciphertext and AES-CBC decrypt."""
+    key, iv = _aes_hex_params(key_hex, iv_hex)
+    for k in keys:
+        if k not in df.columns:
+            continue
+        dec = F.aes_decrypt(
+            F.concat(F.lit(iv), F.unhex(F.col(k))),
+            F.lit(key), F.lit("CBC"), F.lit("PKCS"),
+        )
+        df = df.withColumn(k, dec.cast("string"))
+    return df
+
+
 def geoip_enrich(
     df: DataFrame,
     ranges: DataFrame,
@@ -865,6 +920,170 @@ def log_to_metric(
     ).filter(F.col("__value__").isNotNull())
 
 
+_SLS_LABEL_KEY_RE = "^[a-zA-Z_][a-zA-Z0-9_]*$"
+_SLS_NAME_RE = "^[a-zA-Z_:][a-zA-Z0-9_:]*$"
+
+
+def log_to_sls_metric_native(
+    df: DataFrame,
+    metric_values: dict[str, str],
+    metric_label_keys: list[str] | None = None,
+    custom_metric_labels: dict[str, str] | None = None,
+    metric_time_key: str | None = None,
+    ts_col: str = "ts",
+    labels_col: str = "__labels__",
+) -> DataFrame:
+    """processor_log_to_sls_metric EXACT semantics
+    (processor_log_to_sls_metric.go:73-375).
+
+    Init validation (→ ValueError, like the Go Init error): at least
+    one of MetricLabelKeys/CustomMetricLabels, non-empty MetricValues,
+    label keys match ``^[a-zA-Z_][a-zA-Z0-9_]*$``, custom label values
+    free of ``|``/``#$#``, and no field named twice across labels /
+    names / values / ``__labels__``.
+
+    Per-row: configured label fields must all be present with values
+    free of ``|``/``#$#``; an incoming ``__labels__`` field parses as
+    ``k#$#v|k2#$#v2`` (each pair exactly 2 parts, key matches the
+    label regex and must not collide with a configured label key);
+    each name field's VALUE must match ``^[a-zA-Z_:][a-zA-Z0-9_:]*$``;
+    each value field must parse as float64 (kept as the ORIGINAL
+    string); MetricTimeKey, when set, must be an all-digit string of
+    length 10/13/16/19 (second/ms/µs/ns) right-padded with zeros to
+    nanoseconds — when unset, ``__time_nano__`` is the event time's
+    sec*1e9+nsec. ANY violation drops the whole input row (the Go
+    ``continue TraverseLogArray``). Each surviving row emits one
+    metric row per MetricValues entry with ``__labels__`` sorted by
+    key and joined ``k#$#v|…``, ``__name__``, ``__value__``,
+    ``__time_nano__``.
+
+    Dialect note: float64 validation is ``try_cast(double)`` plus a
+    no-surrounding-whitespace guard — Go ``strconv.ParseFloat`` hex
+    floats (``0x1p-2``) are accepted by neither oracle engine and are
+    out of the common subset. Plan: one codegen projection + explode,
+    zero shuffle."""
+    labels = list(metric_label_keys or [])
+    custom = dict(custom_metric_labels or {})
+    import re as _re
+
+    if not labels and not custom:
+        raise ValueError("MetricLabelKeys and CustomMetricLabels are empty")
+    if not metric_values:
+        raise ValueError("MetricValues parameter is empty")
+    seen = {labels_col}
+    for k in labels:
+        if not _re.match(_SLS_LABEL_KEY_RE, k):
+            raise ValueError(f"invalid label key {k!r}")
+        if k in seen:
+            raise ValueError(f"field repeated: {k}")
+        seen.add(k)
+    for k, v in custom.items():
+        if not _re.match(_SLS_LABEL_KEY_RE, k):
+            raise ValueError(f"invalid label key {k!r}")
+        if "|" in v or "#$#" in v:
+            raise ValueError(f"invalid label value {v!r}")
+        if k in seen:
+            raise ValueError(f"field repeated: {k}")
+        seen.add(k)
+    for n, v in metric_values.items():
+        for f in (n, v):
+            if f in seen:
+                raise ValueError(f"field repeated: {f}")
+            seen.add(f)
+
+    def col_or_null(name: str) -> Column:
+        return F.col(name) if name in df.columns else F.lit(None).cast("string")
+
+    ok = F.lit(True)
+    entry_arrays: list[Column] = []
+    cfg_entries = []
+    for k in labels:
+        v = col_or_null(k)
+        ok = ok & v.isNotNull() & ~v.contains("|") & ~v.contains("#$#")
+        cfg_entries.append(F.struct(F.lit(k).alias("k"), v.alias("v")))
+    if cfg_entries:
+        entry_arrays.append(F.array(*cfg_entries))
+    if custom:
+        entry_arrays.append(F.array(*[
+            F.struct(F.lit(k).alias("k"), F.lit(v).alias("v"))
+            for k, v in custom.items()
+        ]))
+    if labels_col in df.columns:
+        lc = F.col(labels_col)
+        pairs = F.split(lc, r"\|", -1)
+        pair_ok = F.forall(
+            pairs,
+            lambda p: (F.size(F.split(p, r"#\$#", -1)) == 2)
+            & F.split(p, r"#\$#", -1)[0].rlike(_SLS_LABEL_KEY_RE)
+            & (~F.split(p, r"#\$#", -1)[0].isin(*labels) if labels
+               else F.lit(True)),
+        )
+        ok = ok & (lc.isNull() | pair_ok)
+        entry_arrays.append(
+            F.when(
+                lc.isNotNull(),
+                F.transform(
+                    pairs,
+                    lambda p: F.struct(
+                        F.split(p, r"#\$#", -1)[0].alias("k"),
+                        F.split(p, r"#\$#", -1)[1].alias("v"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<k:string,v:string>>"))
+        )
+
+    name_value_structs = []
+    for name_field, value_field in metric_values.items():
+        nv = col_or_null(name_field)
+        vv = col_or_null(value_field)
+        ok = ok & nv.isNotNull() & nv.rlike(_SLS_NAME_RE)
+        ok = (ok & vv.isNotNull() & vv.try_cast("double").isNotNull()
+              & (vv == F.trim(vv)) & (vv != ""))
+        name_value_structs.append(
+            F.struct(nv.alias("n"), vv.alias("v"))
+        )
+
+    if metric_time_key:
+        tv = col_or_null(metric_time_key)
+        ok = (ok & tv.isNotNull() & tv.rlike("^[0-9]+$")
+              & F.length(tv).isin(10, 13, 16, 19))
+        time_nano = F.rpad(tv, 19, "0")
+    else:
+        ts = F.col(ts_col).cast("timestamp")
+        time_nano = (F.unix_micros(ts) * 1000).cast("string")
+
+    all_entries = entry_arrays[0]
+    for a in entry_arrays[1:]:
+        all_entries = F.concat(all_entries, a)
+    labels_str = F.array_join(
+        F.transform(
+            F.array_sort(all_entries),
+            lambda e: F.concat(e["k"], F.lit("#$#"), e["v"]),
+        ),
+        "|",
+    )
+    staged = df.select(
+        ok.alias("_ok"),
+        labels_str.alias("_labels"),
+        time_nano.alias("_tn"),
+        F.array(*name_value_structs).alias("_nv"),
+    )
+    return (
+        staged.filter(F.col("_ok"))
+        .select(
+            F.col("_labels").alias("__labels__"),
+            F.explode(F.col("_nv")).alias("_m"),
+            F.col("_tn").alias("__time_nano__"),
+        )
+        .select(
+            "__labels__",
+            F.col("_m")["n"].alias("__name__"),
+            F.col("_m")["v"].alias("__value__"),
+            "__time_nano__",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1089,20 +1308,52 @@ def _gotime_factory(**cfg):
 
 @register("processor_encrypt")
 def _encrypt_factory(**cfg):
+    """The Go config shape routes to the exact wire leg:
+    ``EncryptionParameters`` is a dict {Key: hex, IV: hex,
+    KeyFilePath: path} (processor_encrypt.go:44-53,160-207; a key
+    file holds the hex key). A plain-string secret keeps the legacy
+    convenience leg (raw-bytes key, iv‖ct layout, q35 roundtrip)."""
+    params = cfg.get("EncryptionParameters", cfg.get("secret"))
+    keys = cfg.get("SourceKeys", cfg.get("keys"))
+    if isinstance(params, dict):
+        key_hex = params.get("Key", "")
+        path = params.get("KeyFilePath")
+        if path:
+            with open(path) as f:
+                key_hex = f.read().strip()
+        iv_hex = params.get("IV") or "0" * 32
+        return lambda df: encrypt_fields_native(
+            df, keys, key_hex=key_hex, iv_hex=iv_hex
+        )
     return lambda df: encrypt_fields(
         df,
-        keys=cfg.get("SourceKeys", cfg.get("keys")),
-        secret=cfg.get("EncryptionParameters", cfg.get("secret")),
+        keys=keys,
+        secret=params,
         iv=cfg.get("IV", cfg.get("iv")),
     )
 
 
 @register("processor_log_to_sls_metric")
 def _l2m_factory(**cfg):
+    """The Go config shape — MetricValues as a {nameField: valueField}
+    DICT (+ optional CustomMetricLabels / MetricTimeKey) — routes to
+    the exact converter (__labels__/__name__/__value__/__time_nano__,
+    drop-on-violation). MetricValues as a LIST keeps the legacy
+    stack() pivot (q34)."""
+    mv = cfg.get("MetricValues", cfg.get("value_keys"))
+    if isinstance(mv, dict):
+        return lambda df: log_to_sls_metric_native(
+            df,
+            metric_values=mv,
+            metric_label_keys=cfg.get("MetricLabelKeys"),
+            custom_metric_labels=cfg.get("CustomMetricLabels"),
+            metric_time_key=cfg.get("MetricTimeKey"),
+            ts_col=cfg.get("ts_col", "ts"),
+        )
     return lambda df: log_to_metric(
         df,
         label_keys=cfg.get("MetricLabelKeys", cfg.get("label_keys")),
-        value_keys=cfg.get("MetricValues", cfg.get("value_keys")),
+        value_keys=mv,
         time_col=cfg.get("MetricTimeKey", cfg.get("time_col", "ts")),
     )
 
