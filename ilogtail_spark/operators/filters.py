@@ -312,7 +312,10 @@ def timestamp_filter_native(
         sec = F.when(ts.isNotNull(), F.unix_timestamp(ts))
         parsed = ts.isNotNull()
         if use_ns:
-            ns = (F.col(nsec_col).cast("long") if nsec_col and nsec_col in df.columns
+            # nanosecondOpt.has_value() ? value : 0 — a NULL nsec must
+            # not NULL-poison the bounds comparison into a drop
+            ns = (F.coalesce(F.col(nsec_col).cast("long"), F.lit(0))
+                  if nsec_col and nsec_col in df.columns
                   else F.lit(0).cast("long"))
             val = sec * F.lit(1_000_000_000).cast("long") + ns
         else:
@@ -529,10 +532,14 @@ def _filter_tree_factory(**cfg):
     # GetOptionalBoolParam: a non-bool (e.g. the string "true") warns
     # and keeps the default false (OnSuccessfulInit case 3)
     non_utf8 = non_utf8 if isinstance(non_utf8, bool) else False
-    if isinstance(expr, dict) and not (
-        isinstance(expr.get("operator"), str)
-        and isinstance(expr.get("operands"), list)
-    ) and ("and" in expr or "or" in expr or "not" in expr or "regex" in expr):
+    if isinstance(expr, str) or (
+        isinstance(expr, dict)
+        and not (isinstance(expr.get("operator"), str)
+                 and isinstance(expr.get("operands"), list))
+        and ("and" in expr or "or" in expr or "not" in expr or "regex" in expr)
+    ):
+        # back-compat: a SQL predicate string or the shorthand dict
+        # shape keeps routing through the convenience tree
         return lambda df: filter_expression(df, expr)
     return lambda df: filter_native(
         df, condition_exp=expr, filter_keys=fkeys, filter_regexes=fregs,

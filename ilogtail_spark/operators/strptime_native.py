@@ -46,8 +46,8 @@ observable): a ``%f``/epoch fraction run longer than 9 digits keeps
 the first 9 (the C++ overflows an unsigned int); a year outside
 [1,9999] yields NULL seconds → the event discards (mktime returns a
 garbage negative that the processor's ``tv_sec <= 0`` gate also
-discards); the ``%z`` hh:mm consumption accepts a 2-digit offset
-glued to extra digits where the C consumes 3 and fails.
+discards); a ``%s`` digit run past int64 parse-fails (keep) where
+strtoll saturates to LLONG_MAX.
 """
 
 from __future__ import annotations
@@ -86,8 +86,14 @@ _MONTH_ALT = "|".join(_MONTHS_FULL + _MONTHS_AB)
 # unreachable as military (the switch catches them first).  The offset
 # is stored in tm_gmtoff, which mktime IGNORES — consumed, not applied
 # (pinned by the +0700 row of TestParseLogTime).
+# the [+-] digit loop (Strptime.cpp:479-506): up to 4 digits with a
+# colon consumed (not counted) ONLY right after the 2nd; exactly 2 or
+# 4 digits succeed (a 5th digit is left as junk), minutes < 60, and a
+# bare "+DD:" with no digit after the colon still succeeds with the
+# colon consumed
 _Z_OFFSET = (r"\s*+(?>GMT|UT|Z"
-             r"|[+-][0-9]{2}(?::?[0-5][0-9])?+(?![0-9])"
+             r"|[+-](?>[0-9]{2}:[0-5][0-9]|[0-9]{2}[0-5][0-9]"
+             r"|[0-9]{2}:(?![0-9])|[0-9]{2}(?![0-9:]))"
              r"|(?i:EST|CST|MST|PST|EDT|CDT|MDT|PDT)"
              r"|[A-FH-IL-TV-Y])")
 
@@ -266,17 +272,30 @@ def strptime_native_struct(
     in the processor's ``tv_sec <= 0`` discard, like mktime's −1.
     """
     if fmt == "%s":
-        # strptime_ns %s leg (Strptime.cpp:84-112): strtoll the run,
-        # FIRST 10 digits are the seconds, the rest is the fraction;
-        # n == 0 fails. try_cast guards a 20+-digit overflow run.
-        g1 = F.regexp_extract(src, r"^([0-9]{1,10}+)([0-9]*+)", 1)
-        g2 = F.regexp_extract(src, r"^([0-9]{1,10}+)([0-9]*+)", 2)
-        sec = g1.try_cast("long")
-        ok = src.isNotNull() & (g1 != "") & sec.isNotNull() & (sec != 0)
+        # strptime_ns %s leg (Strptime.cpp:84-112), the EXACT law:
+        # n = strtoll(buf) (whitespace skip, optional sign), then
+        # bufLength = to_string(n).length() — sign counted, leading
+        # zeros COLLAPSED — and n is divided down to its first
+        # min(bufLength,10) decimal chars (== the first-10-char
+        # substring of the value string, truncation toward zero).
+        # n == 0 after division fails. The fraction is read at the
+        # RAW buffer offset secondTimestampLength — including any
+        # skipped whitespace/sign — so '+5' parses sec=5 nsec=5e8.
+        # A run past int64 (strtoll saturation) is the one documented
+        # deviation: try_cast NULLs it → parse-fail keep.
+        m = F.regexp_extract(src, r"^\s*([+-]?[0-9]+)", 1)
+        n = m.try_cast("long")
+        val_str = n.cast("string")
+        stl = F.least(F.length(val_str), F.lit(10))
+        sec = F.substring(val_str, 1, 10).try_cast("long")
+        ok = src.isNotNull() & n.isNotNull() & (sec != 0)
+        frac = F.regexp_extract(
+            src.substr(stl + 1, F.lit(1 << 30)), r"^([0-9]++)", 1
+        )
         return F.struct(
             ok.alias("ok"),
             F.when(ok, sec).alias("sec"),
-            F.when(ok, _nsec_of(g2)).alias("nsec"),
+            F.when(ok, _nsec_of(frac)).alias("nsec"),
         )
 
     comp = compile_strptime_native(fmt)
@@ -462,10 +481,17 @@ def parse_timestamp_native(
     than ``now − discard_interval`` DROPS the row; success stamps
     ``dest_sec``/``dest_nsec`` with the zone-adjusted time.
     """
+    from ilogtail_spark.common import resolve_key
     from ilogtail_spark.operators.parse import parse_apsara_tz_offset
 
     tz_off = parse_apsara_tz_offset(source_timezone)
-    src = F.col(source) if source in df.columns else F.lit(None).cast("string")
+    # SourceKey resolves from flat columns or the attrs KV bag, like
+    # the sibling processor_strptime (parse.py _ts_factory); absent
+    # everywhere → every row is key-missing and keeps untouched
+    if source in df.columns or "attrs" in df.columns:
+        src = resolve_key(df, source)
+    else:
+        src = F.lit(None).cast("string")
     # staged projections: the one-pass regex array lands ALONE in its
     # own projection (the parse.py _rxa idiom), the struct in the next,
     # and the keep-filter reads only materialized output columns — so

@@ -1010,23 +1010,28 @@ def log_to_sls_metric_native(
         ]))
     if labels_col in df.columns:
         lc = F.col(labels_col)
-        pairs = F.split(lc, r"\|", -1)
+        # split each pair ONCE — codegen does not CSE inside
+        # higher-order-function lambdas, so repeating the regex split
+        # per check would run it 5x per pair on the hot path
+        kvs = F.transform(
+            F.split(lc, r"\|", -1), lambda p: F.split(p, r"#\$#", -1)
+        )
+        # F.get (NULL on out-of-bounds), not [] — a separator-less pair
+        # yields a 1-element kv and ANSI GetArrayItem would throw
         pair_ok = F.forall(
-            pairs,
-            lambda p: (F.size(F.split(p, r"#\$#", -1)) == 2)
-            & F.split(p, r"#\$#", -1)[0].rlike(_SLS_LABEL_KEY_RE)
-            & (~F.split(p, r"#\$#", -1)[0].isin(*labels) if labels
-               else F.lit(True)),
+            kvs,
+            lambda kv: (F.size(kv) == 2)
+            & F.get(kv, 0).rlike(_SLS_LABEL_KEY_RE)
+            & (~F.get(kv, 0).isin(*labels) if labels else F.lit(True)),
         )
         ok = ok & (lc.isNull() | pair_ok)
         entry_arrays.append(
             F.when(
                 lc.isNotNull(),
                 F.transform(
-                    pairs,
-                    lambda p: F.struct(
-                        F.split(p, r"#\$#", -1)[0].alias("k"),
-                        F.split(p, r"#\$#", -1)[1].alias("v"),
+                    kvs,
+                    lambda kv: F.struct(
+                        F.get(kv, 0).alias("k"), F.get(kv, 1).alias("v")
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<k:string,v:string>>"))
@@ -1316,11 +1321,22 @@ def _encrypt_factory(**cfg):
     params = cfg.get("EncryptionParameters", cfg.get("secret"))
     keys = cfg.get("SourceKeys", cfg.get("keys"))
     if isinstance(params, dict):
-        key_hex = params.get("Key", "")
+        params = dict(params)
         path = params.get("KeyFilePath")
         if path:
+            # the key file is a JSON document unmarshaled OVER the
+            # params (processor_encrypt.go:158-167) — it may carry Key
+            # and IV; non-JSON content is an Init error there too
+            import json as _json
+
             with open(path) as f:
-                key_hex = f.read().strip()
+                try:
+                    params.update(_json.load(f))
+                except ValueError as e:
+                    raise ValueError(
+                        f"processor_encrypt key file {path} is not JSON: {e}"
+                    ) from e
+        key_hex = params.get("Key", "")
         iv_hex = params.get("IV") or "0" * 32
         return lambda df: encrypt_fields_native(
             df, keys, key_hex=key_hex, iv_hex=iv_hex

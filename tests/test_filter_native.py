@@ -400,3 +400,30 @@ def test_ts_filter_native_registry_modes(spark):
         SourceKey="ts_str", LowerBound=1600000000,
     )
     assert fn(df).count() == 0
+
+
+def test_ts_filter_null_nsec_keeps(spark):
+    """Review fix: a NULL nsec column must coalesce to 0
+    (GetEventTimestamp's has_value() ? value : 0), not NULL-poison the
+    bounds comparison into a drop."""
+    from ilogtail_spark.operators.filters import timestamp_filter_native
+
+    df = spark.createDataFrame(
+        [(1, "2001-09-09 01:46:40", None), (2, "2001-09-09 01:46:40", 5)],
+        "id int, t string, nsec long",
+    ).selectExpr("id", "cast(t as timestamp) as ts", "nsec")
+    out = timestamp_filter_native(
+        df, precision="nanosecond", nsec_col="nsec",
+        lower_bound=1000000000000000000, upper_bound=2000000000000000000,
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_filter_native_string_expr_backcompat(spark):
+    """Review fix: a SQL-predicate string ConditionExp keeps working
+    through the convenience path (the pre-rework factory contract)."""
+    df = spark.createDataFrame([("user",), ("tool",)], "role string")
+    fn = OPERATORS["processor_filter_regex_native"](
+        ConditionExp="role = 'user'"
+    )
+    assert [r.role for r in fn(df).collect()] == ["user"]

@@ -122,6 +122,7 @@ def test_violations_drop_row(spark, field, value):
         ("a#$#1#$#|b#$#2", 0),     # 3-part pair -> drop (test.go:770)
         ("label1#$#1|b#$#2", 0),   # collides with configured key (816)
         ("-a#$#1|b#$#2", 0),       # key fails the label regex (862)
+        ("junk", 0),               # separator-less pair: 1-element kv
         ("a#$#1|b#$#2", 1),        # valid merge, sorted into the output
     ],
 )

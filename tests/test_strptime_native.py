@@ -291,3 +291,80 @@ def test_compile_shapes():
     # %s INSIDE a larger format is an unknown conversion (the C switch
     # has no 's' case; only the whole-format strcmp special-cases it)
     assert compile_strptime_native("ts=%s").ok is False
+
+
+def test_epoch_s_exact_strtoll_law(spark):
+    """Review fixes: %s follows the exact Strptime.cpp:84-112 law —
+    to_string(strtoll(buf)) length (sign counted, leading zeros
+    collapsed) picks the seconds digits, and the fraction reads at
+    the RAW buffer offset (whitespace/sign included)."""
+    cases = [
+        # (input, expect_kept, sec, nsec)
+        ("1700000000123456", True, 1700000000, 123456000),
+        # leading zeros collapse in to_string(n): the VALUE
+        # 1700000000123456 has 16 digits, so sec is its first 10
+        # (1700000000); the fraction reads at RAW offset 10 — the
+        # run "000123456" (zeros from the input's leading-zero
+        # region) → 123456 ns
+        ("0001700000000123456", True, 1700000000, 123456),
+        ("+5", True, 5, 500000000),       # raw offset 1 re-reads '5'
+        (" 1700000000", True, 1700000000, 0),
+        ("-5", False, None, None),         # sec<=0 -> row DROPPED
+        ("0", True, None, None),           # n==0 parse-fails -> kept
+        ("00000", True, None, None),
+        ("abc", True, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, *_e) in enumerate(cases)], "id int, line string"
+    )
+    out = parse_timestamp_native(df, "line", "%s", discard_old=False)
+    got = {r.id: (r.log_sec, r.log_nsec) for r in out.collect()}
+    for i, (s, kept, sec, nsec) in enumerate(cases):
+        if not kept:
+            assert i not in got, s
+        else:
+            assert got[i] == (sec, nsec), (s, got[i])
+
+
+def test_z_offset_exact_digit_loop(spark):
+    """Review fix: the %z digit loop consumes up to 4 digits (a colon
+    only right after the 2nd, uncounted); exactly 2 or 4 digits
+    succeed with minutes < 60, a 5th digit is junk, and '+DD:' with
+    no digit after the colon succeeds with the colon consumed."""
+    cases = [
+        ("2024-01-02 03:04:05 +12345", True),    # 4 digits + junk '5'
+        ("2024-01-02 03:04:05 +12:345", True),
+        ("2024-01-02 03:04:05 +12:zz", True),    # colon consumed, +12
+        ("2024-01-02 03:04:05 +12", True),
+        ("2024-01-02 03:04:05 +123", False),     # i==3 -> fail
+        ("2024-01-02 03:04:05 +12:3", False),
+        ("2024-01-02 03:04:05 +1264", False),    # minutes >= 60
+        ("2024-01-02 03:04:05 +12:64", False),   # ditto via colon form
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(cases)], "id int, line string"
+    )
+    out = parse_timestamp_native(
+        df, "line", "%Y-%m-%d %H:%M:%S %z", discard_old=False
+    )
+    got = {r.id: r.log_sec for r in out.collect()}
+    base = 1704164645  # 2024-01-02 03:04:05 UTC (offset consumed, not applied)
+    for i, (s, parses) in enumerate(cases):
+        assert (got[i] == base) == parses, (s, got[i])
+        if not parses:
+            assert got[i] is None, s
+
+
+def test_source_key_resolves_from_attrs(spark):
+    """Review fix: SourceKey falls back to the attrs KV bag like the
+    sibling processor_strptime."""
+    df = spark.createDataFrame(
+        [(1, {"t": "2024-01-02 03:04:05"}), (2, {"x": "y"})],
+        "id int, attrs map<string,string>",
+    )
+    out = parse_timestamp_native(
+        df, "t", "%Y-%m-%d %H:%M:%S", discard_old=False
+    )
+    got = {r.id: r.log_sec for r in out.collect()}
+    assert got[1] == 1704164645
+    assert got[2] is None  # key missing in the bag: kept untouched

@@ -347,11 +347,18 @@ def test_encrypt_native_openssl_goldens(spark):
 
 
 def test_encrypt_native_key_file(tmp_path, spark):
+    """The key file is a JSON document unmarshaled over
+    EncryptionParameters (processor_encrypt.go:158-167) — it may carry
+    Key AND IV; raw-hex content is an Init error there and here."""
+    import json
+
+    import pytest as _pytest
+
     from ilogtail_spark.operators.registry import OPERATORS
 
     key_hex = "00112233445566778899aabbccddeeff"  # AES-128
     kf = tmp_path / "aes.key"
-    kf.write_text(key_hex + "\n")
+    kf.write_text(json.dumps({"Key": key_hex, "IV": "11" * 16}))
     df = spark.createDataFrame([("secret",)], "source string")
     fn = OPERATORS["processor_encrypt"](
         SourceKeys=["source"],
@@ -359,3 +366,17 @@ def test_encrypt_native_key_file(tmp_path, spark):
     )
     out = fn(df).first().source
     assert out and out == out.lower() and len(out) % 32 == 0
+    # the file IV participates: same key with the default zero IV
+    # yields different bytes
+    fn0 = OPERATORS["processor_encrypt"](
+        SourceKeys=["source"], EncryptionParameters={"Key": key_hex},
+    )
+    assert fn0(df).first().source != out
+    # raw-hex file content = Go json.Unmarshal error = Init failure
+    bad = tmp_path / "raw.key"
+    bad.write_text(key_hex + "\n")
+    with _pytest.raises(ValueError):
+        OPERATORS["processor_encrypt"](
+            SourceKeys=["source"],
+            EncryptionParameters={"KeyFilePath": str(bad)},
+        )
