@@ -468,9 +468,34 @@ def tag_native(
     return add_fields(df, {f"__tag__{k}": v for k, v in out.items()})
 
 
-def drop_last_key(df: DataFrame, raw_key: str, ok_col: str = "__parse_ok__") -> DataFrame:
-    """processor_drop_last_key (processor_drop_last_key.go:26-33,92) —
-    null the raw source column on rows where parsing succeeded."""
+def drop_last_key(
+    df: DataFrame,
+    raw_key: str,
+    ok_col: str = "__parse_ok__",
+    include: list[str] | None = None,
+) -> DataFrame:
+    """processor_drop_last_key (processor_drop_last_key.go:26-33,63-79).
+
+    EXACT Go form with ``include``: DropKey is nulled on rows where ANY
+    Include key is present (the "parse landed its outputs" witness —
+    test fixtures drop ``src`` when ``src`` or ``test`` exists and keep
+    the row otherwise untouched). Both Include and DropKey are
+    mandatory upstream (Init errors on either empty). Without
+    ``include``, the repo's parse-contract form nulls the raw column
+    where ``ok_col`` says parsing succeeded — the same intent keyed on
+    the structured parse flag instead of key presence."""
+    if include is not None:
+        if not raw_key:
+            raise ValueError("Invalid config, DropKey is empty")
+        if not include:
+            raise ValueError("Invalid config, Include is empty")
+        present = F.lit(False)
+        for k in include:
+            if k in df.columns:
+                present = present | F.col(k).isNotNull()
+        if raw_key not in df.columns:
+            return df
+        return df.withColumn(raw_key, F.when(~present, F.col(raw_key)))
     if ok_col in df.columns:
         return df.withColumn(raw_key, F.when(~F.col(ok_col), F.col(raw_key)))
     return df.drop(raw_key)
@@ -1253,7 +1278,9 @@ def _tag_factory(**cfg):
 
 @register("processor_drop_last_key")
 def _dlk_factory(**cfg):
-    return lambda df: drop_last_key(df, cfg_pop(cfg, "DropKey", "raw_key"))
+    key = cfg_pop(cfg, "DropKey", "raw_key")
+    inc = cfg_pop(cfg, "Include", "include", default=None)
+    return lambda df: drop_last_key(df, key, include=inc)
 
 
 @register("processor_anchor")

@@ -380,3 +380,35 @@ def test_encrypt_native_key_file(tmp_path, spark):
             SourceKeys=["source"],
             EncryptionParameters={"KeyFilePath": str(bad)},
         )
+
+
+def test_drop_last_key_go_include_form(spark):
+    """processor_drop_last_key exact Go semantics
+    (processor_drop_last_key.go:63-79 + its test fixtures): DropKey is
+    dropped on rows where ANY Include key is present; rows without an
+    Include key keep it; empty DropKey/Include are Init errors."""
+    import pytest as _pytest
+
+    from ilogtail_spark.operators.registry import OPERATORS
+    from ilogtail_spark.operators.transform import drop_last_key
+
+    df = spark.createDataFrame(
+        [(1, "123", None, "234"), (2, None, None, "234"),
+         (3, None, "t", "234")],
+        "id int, src string, test string, xxx string",
+    )
+    fn = OPERATORS["processor_drop_last_key"](
+        Include=["src", "test"], DropKey="src"
+    )
+    got = {r.id: r.src for r in fn(df).collect()}
+    # row 1: src present -> dropped; row 2: no Include key -> kept
+    # (NULL already); row 3: test present -> src dropped (is NULL)
+    assert got == {1: None, 2: None, 3: None}
+    df2 = spark.createDataFrame([(1, "v", "k")], "id int, src string, test string")
+    assert OPERATORS["processor_drop_last_key"](
+        Include=["nope"], DropKey="src"
+    )(df2).first().src == "v"  # no Include key present anywhere: kept
+    with _pytest.raises(ValueError):
+        drop_last_key(df2, "", include=["src"])
+    with _pytest.raises(ValueError):
+        drop_last_key(df2, "src", include=[])
